@@ -1,0 +1,140 @@
+"""Unit + property tests for the cell-index kernels (no Spark)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lagespark.kernels import cells
+
+
+def test_grid_encode_decode_roundtrip():
+    rng = np.random.default_rng(42)
+    x = rng.uniform(-5000, 15000, 1000)
+    y = rng.uniform(-5000, 15000, 1000)
+    c = cells.grid_encode(x, y, 250.0)
+    i, j = cells.grid_decode(c)
+    assert (i == np.floor(x / 250.0)).all()
+    assert (j == np.floor(y / 250.0)).all()
+
+
+def test_grid_sql_matches_numpy():
+    import duckdb
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-2000, 12000, 500)
+    y = rng.uniform(-2000, 12000, 500)
+    want = cells.grid_encode(x, y, 250.0)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts AS SELECT * FROM (VALUES " +
+                ",".join(f"({a!r},{b!r})" for a, b in zip(x, y)) +
+                ") t(x, y)")
+    expr = cells.grid_cell_sql("x", "y", 250.0)
+    got = con.execute(f"SELECT {expr} FROM pts").fetchnumpy()
+    got = list(got.values())[0].astype(np.int64)
+    assert (got == want).all()
+
+
+def test_grid_ring_and_disk():
+    c = int(cells.grid_encode(np.array([500.0]), np.array([500.0]), 100.0)[0])
+    ring1 = cells.grid_ring_cells(c, 1)
+    assert len(ring1) == 8
+    disk1 = cells.grid_disk_cells(np.array([c]), 1)
+    assert disk1.shape == (1, 9)
+    assert set(ring1.tolist()) | {c} == set(disk1[0].tolist())
+
+
+def test_grid_cover_bbox_conservative():
+    cover = set(cells.grid_cover_bbox(100.0, 100.0, 900.0, 450.0, 250.0).tolist())
+    rng = np.random.default_rng(3)
+    x = rng.uniform(100.0, 900.0, 2000)
+    y = rng.uniform(100.0, 450.0, 2000)
+    pts = set(cells.grid_encode(x, y, 250.0).tolist())
+    assert pts <= cover
+
+
+LATS = st.floats(min_value=-85, max_value=85, allow_nan=False)
+LONS = st.floats(min_value=-179.9, max_value=179.9, allow_nan=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(LATS, LONS, st.integers(min_value=5, max_value=20))
+def test_prop_s2_roundtrip_center_same_cell(lat, lon, level):
+    """decode(encode(p)) center must re-encode to the same cell."""
+    c = cells.s2_encode(np.array([lat]), np.array([lon]), level)
+    clat, clon = cells.s2_cell_center(c)
+    c2 = cells.s2_encode(clat, clon, level)
+    assert c.tolist() == c2.tolist()
+
+
+@settings(max_examples=100, deadline=None)
+@given(LATS, LONS)
+def test_prop_s2_center_near_point(lat, lon):
+    """Cell center at level 15 is within ~one cell diagonal of the input."""
+    c = cells.s2_encode(np.array([lat]), np.array([lon]), 15)
+    clat, clon = cells.s2_cell_center(c)
+    # level-15 cell edge ≈ 300 m ≈ 0.003 deg at the equator; be generous
+    dist_deg = np.hypot(
+        clat[0] - lat, (clon[0] - lon) * np.cos(np.radians(lat))
+    )
+    assert dist_deg < 0.02
+
+
+def test_s2_level15_cell_area_matches_h3_res9():
+    """Level-15 cells ≈ 0.08 km² (H3 res 9 is ~0.105 km²) near Brandenburg."""
+    # measure one cell by decoding neighbors' centers
+    lat, lon = 52.5, 13.4
+    c = cells.s2_encode(np.array([lat]), np.array([lon]), 15)
+    face, i, j, level = cells.s2_decode_ij(c)
+    east = cells.s2_from_ij(face, i + 1, j, level)
+    north = cells.s2_from_ij(face, i, j + 1, level)
+    clat, clon = cells.s2_cell_center(c)
+    elat, elon = cells.s2_cell_center(east)
+    nlat, nlon = cells.s2_cell_center(north)
+    m_per_deg = 111_320.0
+    dx = np.hypot(
+        (elon - clon) * m_per_deg * np.cos(np.radians(clat)), (elat - clat) * m_per_deg
+    )[0]
+    dy = np.hypot(
+        (nlon - clon) * m_per_deg * np.cos(np.radians(clat)), (nlat - clat) * m_per_deg
+    )[0]
+    area_km2 = dx * dy / 1e6
+    assert 0.03 < area_km2 < 0.25
+
+
+def test_s2_disk_contains_nearby_points():
+    """Points within one cell width land inside the k=1 ij-disk."""
+    lat0, lon0 = 52.5, 13.4
+    c0 = cells.s2_encode(np.array([lat0]), np.array([lon0]), 15)
+    disk = set(cells.s2_disk_cells(c0, 1)[0].tolist())
+    # points 100m away in each direction
+    for dlat, dlon in [(0.0009, 0), (-0.0009, 0), (0, 0.0015), (0, -0.0015)]:
+        c = cells.s2_encode(np.array([lat0 + dlat]), np.array([lon0 + dlon]), 15)
+        assert int(c[0]) in disk
+
+
+def test_s2_faces_distinct():
+    """Six cardinal directions hit six distinct faces."""
+    pts = [(0, 0), (0, 90), (90, 0), (0, 180), (0, -90), (-90, 0)]
+    ids = [
+        int(cells.s2_encode(np.array([la], float), np.array([lo], float), 10)[0]) >> 60
+        for la, lo in pts
+    ]
+    assert sorted(ids) == [0, 1, 2, 3, 4, 5]
+
+
+def test_grid_vs_pip_join_consistency():
+    """A point's grid cell is always inside the grid cover of any polygon
+    bbox containing the point — the conservative-prefilter invariant that
+    spatial join correctness rests on."""
+    rng = np.random.default_rng(11)
+    for _ in range(50):
+        x0, y0 = rng.uniform(0, 9000, 2)
+        w, h = rng.uniform(10, 900, 2)
+        px = rng.uniform(x0, x0 + w, 20)
+        py = rng.uniform(y0, y0 + h, 20)
+        cover = set(cells.grid_cover_bbox(x0, y0, x0 + w, y0 + h, 250.0).tolist())
+        pc = cells.grid_encode(px, py, 250.0)
+        assert set(pc.tolist()) <= cover

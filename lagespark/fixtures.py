@@ -1,0 +1,228 @@
+"""Deterministic synthetic fixtures (FIXTURES.md, seed=42).
+
+Generates, in pandas (converted to Spark by callers):
+
+  images        — the graft input table (BASELINE.json:15 shape + x/y/lon/lat)
+  baufeld       — construction polygons (rect, hexagon, L-shape)
+  gruenflaeche  — compensatory polygons (incl. one with a hole; placed in
+                  specific Lagefaktor bands per FIXTURES.md §3)
+  biotope       — protected areas overlapping compensatory features
+  factors       — zone → lagefaktor configuration
+
+Coordinates: planar meters, domain [0, 10_000]²; lon/lat derived affinely
+(lon = x/111_320 + 13, lat = y/111_320 + 52 — FIXTURES.md header). Image
+points: 80% from 5 Gaussian urban clusters (σ=150 m) to force cell skew for
+the salting tests (BASELINE.json:14), 20% uniform.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from lagespark.image import codecs
+
+SEED = 42
+M_PER_DEG = 111_320.0
+LON0, LAT0 = 13.0, 52.0
+DOMAIN = 10_000.0
+
+CLUSTERS = [(2200.0, 2100.0), (6500.0, 6500.0), (7300.0, 2300.0), (3000.0, 3000.0), (8000.0, 8000.0)]
+FMTS = ("raw", "ppm", "png", "qdct")
+
+
+def xy_to_lonlat(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return x / M_PER_DEG + LON0, y / M_PER_DEG + LAT0
+
+
+def lonlat_to_xy(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return (lon - LON0) * M_PER_DEG, (lat - LAT0) * M_PER_DEG
+
+
+# ---------------------------------------------------------------------------
+# images
+# ---------------------------------------------------------------------------
+
+
+def image_points(n: int, seed: int = SEED) -> tuple[np.ndarray, np.ndarray]:
+    """The skewed point field only (no payloads) — cheap at bench scale."""
+    rng = np.random.default_rng(seed)
+    n_clustered = int(n * 0.8)
+    which = rng.integers(0, len(CLUSTERS), n_clustered)
+    cx = np.array([CLUSTERS[k][0] for k in which])
+    cy = np.array([CLUSTERS[k][1] for k in which])
+    x = np.empty(n)
+    y = np.empty(n)
+    x[:n_clustered] = np.clip(cx + rng.normal(0, 150, n_clustered), 0, DOMAIN)
+    y[:n_clustered] = np.clip(cy + rng.normal(0, 150, n_clustered), 0, DOMAIN)
+    x[n_clustered:] = rng.uniform(0, DOMAIN, n - n_clustered)
+    y[n_clustered:] = rng.uniform(0, DOMAIN, n - n_clustered)
+    return x, y
+
+
+def images_pdf(n: int = 2_000, seed: int = SEED, with_payload: bool = True) -> pd.DataFrame:
+    """The graft input table (image_id, bytes, w, h, fmt, caption, phash,
+    x, y, lon, lat). with_payload=False skips pixel encoding (point-only
+    benchmarks)."""
+    x, y = image_points(n, seed)
+    lon, lat = xy_to_lonlat(x, y)
+    w = np.array([16, 32, 64], dtype=np.int32)[np.arange(n) % 3]
+    fmt = [FMTS[i % 4] for i in range(n)]
+    ids = [f"img{i:08d}" for i in range(n)]
+    captions = [
+        f"synthetic scene {i} near ({round(x[i])},{round(y[i])})" for i in range(n)
+    ]
+    if with_payload:
+        blobs = []
+        phashes = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            px = codecs.procedural_image(i, int(w[i]), int(w[i]))
+            blobs.append(codecs.encode_image(px, fmt[i]))
+            phashes[i] = codecs.phash64(px)
+    else:
+        blobs = [b""] * n
+        phashes = np.zeros(n, dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "image_id": ids,
+            "bytes": blobs,
+            "w": w,
+            "h": w.copy(),
+            "fmt": fmt,
+            "caption": captions,
+            "phash": phashes,
+            "x": x,
+            "y": y,
+            "lon": lon,
+            "lat": lat,
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# polygons
+# ---------------------------------------------------------------------------
+
+
+def _hexagon(cx: float, cy: float, r: float) -> list[list[float]]:
+    ang = np.linspace(0, 2 * np.pi, 7)[:-1]
+    return [[cx + r * np.cos(a), cy + r * np.sin(a)] for a in ang]
+
+
+def _rect(x0, y0, x1, y1) -> list[list[float]]:
+    return [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
+
+
+def _wkt(rings: list[list[list[float]]]) -> str:
+    parts = []
+    for ring in rings:
+        pts = ring + [ring[0]]
+        parts.append("(" + ", ".join(f"{p[0]} {p[1]}" for p in pts) + ")")
+    return "POLYGON " + "(" + ", ".join(parts) + ")"
+
+
+def _poly_row(fid: str, rings: list, **attrs) -> dict:
+    arr = np.array(rings[0])
+    return {
+        "feature_id": fid,
+        "rings": [[{"x": float(p[0]), "y": float(p[1])} for p in r] for r in rings],
+        "xmin": float(arr[:, 0].min()),
+        "ymin": float(arr[:, 1].min()),
+        "xmax": float(arr[:, 0].max()),
+        "ymax": float(arr[:, 1].max()),
+        "wkt": _wkt(rings),
+        **attrs,
+    }
+
+
+def baufeld_pdf() -> pd.DataFrame:
+    rows = [
+        _poly_row("bf000", [_rect(2000, 2000, 2400, 2250)], construction_value=1.0),
+        _poly_row("bf001", [_hexagon(6500, 6500, 300)], construction_value=1.5),
+        _poly_row(
+            "bf002",
+            [
+                [
+                    [7000.0, 2000.0],
+                    [7600.0, 2000.0],
+                    [7600.0, 2200.0],
+                    [7200.0, 2200.0],
+                    [7200.0, 2600.0],
+                    [7000.0, 2600.0],
+                ]
+            ],
+            construction_value=2.0,
+        ),
+    ]
+    return pd.DataFrame(rows)
+
+
+def gruenflaeche_pdf() -> pd.DataFrame:
+    vals = [0.5, 1.0, 1.5]
+    specs = [
+        # 2 partly within 100 m
+        ("gf000", [_rect(2450, 2000, 2650, 2200)]),
+        ("gf001", [_rect(7650, 2000, 7850, 2150)]),
+        # 3 within 625 m
+        ("gf002", [_rect(2700, 2100, 2950, 2350)]),
+        ("gf003", [_rect(7000, 6400, 7300, 6700)]),
+        ("gf004", [_rect(1700, 1500, 1950, 1750)]),
+        # 2 beyond 625 m (gf005 carries a hole)
+        ("gf005", [_rect(4500, 8500, 4900, 8900), _rect(4650, 8650, 4750, 8750)[::-1]]),
+        ("gf006", [_rect(500, 5000, 900, 5400)]),
+        # 1 straddling the 625 m boundary
+        ("gf007", [_rect(2800, 2600, 3200, 3000)]),
+    ]
+    rows = [
+        _poly_row(fid, rings, compensatory_value=vals[j % 3])
+        for j, (fid, rings) in enumerate(specs)
+    ]
+    return pd.DataFrame(rows)
+
+
+def biotope_pdf() -> pd.DataFrame:
+    rows = [
+        _poly_row(
+            "bt000", [_rect(2500, 2050, 2700, 2250)], protection_type="biotope", bonus=1.25
+        ),
+        _poly_row(
+            "bt001",
+            [_rect(7200, 6500, 7400, 6800)],
+            protection_type="naturschutz",
+            bonus=1.5,
+        ),
+        _poly_row(
+            "bt002",
+            [[[4600.0, 8600.0], [4850.0, 8620.0], [4700.0, 8850.0]]],
+            protection_type="biotope",
+            bonus=1.25,
+        ),
+    ]
+    return pd.DataFrame(rows)
+
+
+def factors_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "zone": np.array([0, 1, 2], dtype=np.int32),
+            "zone_label": ["<100", "<625", ">625"],
+            "lagefaktor": [1.25, 1.0, 0.75],
+        }
+    )
+
+
+def rings_to_numpy(rings_cell) -> list[np.ndarray]:
+    """Decode the rings column (list of list of {x,y} dicts / Rows) back to
+    numpy rings — used inside pandas UDF kernels."""
+    out = []
+    for ring in rings_cell:
+        out.append(
+            np.array(
+                [
+                    [p["x"], p["y"]] if isinstance(p, dict) else [p.x, p.y]
+                    for p in ring
+                ],
+                dtype=np.float64,
+            )
+        )
+    return out

@@ -1,0 +1,792 @@
+"""Query registry: every SURVEY.md §2 operator key → (Spark callable, oracle SQL).
+
+Conventions (driver contract, __spark_entry__.py):
+  * Spark callable: (spark, sf_dir) → DataFrame, built with the DataFrame API
+    (spark.sql only where it IS the operator under test).
+  * Oracle: ANSI SQL for DuckDB over the pre-registered harness views.
+  * Every computed column is aliased IDENTICALLY on both sides.
+  * Double aggregates are ROUND()ed on both sides (sum-order ulps); integer
+    and exact-decimal outputs are left alone.
+  * Geo inputs are synthesized from lineitem keys (lagespark.oracles) so the
+    oracle side is pure closed-form SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lagespark import fixtures, oracles
+from lagespark.operators import spatial
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# §2.2 projection / filter
+# ===========================================================================
+
+
+@q(
+    "q01-project",
+    "SELECT l_orderkey, l_linenumber, "
+    "ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price FROM lineitem",
+)
+def q01(spark, sf):
+    li = T(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "net_price"
+        ),
+    )
+
+
+@q(
+    "q02-filter",
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+    "WHERE l_quantity > 45 AND l_returnflag = 'A'",
+)
+def q02(spark, sf):
+    li = T(spark, sf, "lineitem")
+    return li.filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "A")).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+# ===========================================================================
+# §2.5 relational joins
+# ===========================================================================
+
+
+@q(
+    "q10-join-inner",
+    "SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total "
+    "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
+)
+def q10(spark, sf):
+    o, c = T(spark, sf, "orders"), T(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@q(
+    "q11-join-left",
+    "SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer "
+    "LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey",
+)
+def q11(spark, sf):
+    o, c = T(spark, sf, "orders"), T(spark, sf, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@q(
+    "q12-join-semi",
+    "SELECT c_custkey, c_name FROM customer c "
+    "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey "
+    "AND o_totalprice > 300000)",
+)
+def q12(spark, sf):
+    o, c = T(spark, sf, "orders"), T(spark, sf, "customer")
+    big = o.filter(F.col("o_totalprice") > 300000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@q(
+    "q13-join-anti",
+    "SELECT c_custkey FROM customer c "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)",
+)
+def q13(spark, sf):
+    o, c = T(spark, sf, "orders"), T(spark, sf, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@q(
+    "q14-join-bcast",
+    "SELECT p_brand, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS revenue "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand",
+)
+def q14(spark, sf):
+    li, p = T(spark, sf, "lineitem"), T(spark, sf, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@q(
+    "q15-join-theta",
+    "SELECT a.n_name AS n1, b.n_name AS n2 FROM nation a JOIN nation b "
+    "ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey",
+)
+def q15(spark, sf):
+    n = T(spark, sf, "nation")
+    a = n.alias("a")
+    b = n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(F.col("a.n_name").alias("n1"), F.col("b.n_name").alias("n2"))
+
+
+@q(
+    "q16-join-range",
+    "SELECT r_regionkey AS bucket, COUNT(*) AS n, ROUND(SUM(value), 2) AS total "
+    "FROM events JOIN region ON value >= r_regionkey * 100 "
+    "AND value < (r_regionkey + 1) * 100 GROUP BY r_regionkey",
+)
+def q16(spark, sf):
+    e, r = T(spark, sf, "events"), T(spark, sf, "region")
+    return (
+        e.join(
+            F.broadcast(r),
+            (e.value >= r.r_regionkey * 100) & (e.value < (r.r_regionkey + 1) * 100),
+        )
+        .groupBy(F.col("r_regionkey").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+@q(
+    "q17-join-asof",
+    "WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'), "
+    "c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') "
+    "SELECT c.event_id, MAX(CAST(epoch_us(s.ts) AS BIGINT)) AS signup_us "
+    "FROM c LEFT JOIN s ON s.user_id = c.user_id AND s.ts <= c.ts "
+    "GROUP BY c.event_id",
+)
+def q17(spark, sf):
+    """As-of join via pd.merge_asof inside applyInPandas per user group —
+    the grouped-map surface (SURVEY.md §2.5 q17)."""
+    e = T(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    signups = e.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    merged = clicks.withColumn("side", F.lit("c")).unionByName(
+        signups.withColumn("event_id", F.lit(None).cast("long")).withColumn(
+            "side", F.lit("s")
+        )
+    )
+
+    def asof(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = pdf[pdf["side"] == "c"][["event_id", "ts"]].sort_values("ts")
+        s = pdf[pdf["side"] == "s"][["ts"]].sort_values("ts")
+        if len(c) == 0:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"), "signup_us": pd.Series(dtype="float64")}
+            )
+        if len(s) == 0:
+            return pd.DataFrame({"event_id": c["event_id"], "signup_us": np.nan})
+        s = s.assign(signup_ts=s["ts"])
+        m = pd.merge_asof(c, s, on="ts", direction="backward")
+        us = m["signup_ts"].to_numpy().astype("datetime64[us]").astype("float64")
+        us[m["signup_ts"].isna().to_numpy()] = np.nan
+        return pd.DataFrame({"event_id": m["event_id"], "signup_us": us})
+
+    res = merged.groupBy("user_id").applyInPandas(
+        asof, "event_id long, signup_us double"
+    )
+    return res.select("event_id", F.col("signup_us").cast("long").alias("signup_us"))
+
+
+@q("q18-cross", "SELECT r_name, n_name FROM region CROSS JOIN nation")
+def q18(spark, sf):
+    return T(spark, sf, "region").crossJoin(T(spark, sf, "nation")).select(
+        "r_name", "n_name"
+    )
+
+
+# ===========================================================================
+# §2.6 aggregations
+# ===========================================================================
+
+
+@q(
+    "q20-agg-basic",
+    "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, "
+    "ROUND(SUM(l_extendedprice), 2) AS sum_base, "
+    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, "
+    "ROUND(AVG(l_quantity), 4) AS avg_qty, COUNT(*) AS n "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+)
+def q20(spark, sf):
+    li = T(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "q21-agg-distinct",
+    "SELECT COUNT(DISTINCT l_partkey) AS n_parts, "
+    "COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem",
+)
+def q21(spark, sf):
+    li = T(spark, sf, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@q("q22-agg-approx")  # approximate → rows-only check (driver contract)
+def q22(spark, sf):
+    li = T(spark, sf, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+
+
+@q(
+    "q23-rollup",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+    "ROUND(SUM(l_quantity), 2) AS sum_qty FROM lineitem "
+    "GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+)
+def q23(spark, sf):
+    li = T(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@q(
+    "q24-cube",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+    "ROUND(SUM(l_quantity), 2) AS sum_qty FROM lineitem "
+    "GROUP BY CUBE(l_returnflag, l_linestatus)",
+)
+def q24(spark, sf):
+    li = T(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@q(
+    "q25-gsets",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem "
+    "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())",
+)
+def q25(spark, sf):
+    # DataFrame-side grouping sets via the SQL front door (PySpark 4's
+    # GroupedData.groupingSets is exercised in tests; SQL keeps parity here)
+    T(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(ORACLES["q25-gsets"])
+
+
+@q(
+    "q26-percentile",
+    "SELECT l_returnflag, ROUND(MEDIAN(l_quantity), 4) AS med_qty FROM lineitem "
+    "GROUP BY l_returnflag",
+)
+def q26(spark, sf):
+    li = T(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("med_qty")
+    )
+
+
+@q(
+    "q27-collect",
+    "SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') AS lines "
+    "FROM lineitem GROUP BY l_orderkey",
+)
+def q27(spark, sf):
+    li = T(spark, sf, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.sort_array(F.collect_list(F.col("l_linenumber").cast("string"))), ","
+        ).alias("lines")
+    )
+
+
+# ===========================================================================
+# §2.7 window / sort / set ops
+# ===========================================================================
+
+
+@q(
+    "q30-rank",
+    "SELECT * FROM (SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER "
+    "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+    "FROM orders) WHERE rn <= 3",
+)
+def q30(spark, sf):
+    o = T(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+@q(
+    "q31-analytic",
+    "SELECT event_id, LAG(event_id) OVER w AS prev_id, "
+    "LEAD(event_id) OVER w AS next_id FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)",
+)
+def q31(spark, sf):
+    e = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+        F.lead("event_id").over(w).alias("next_id"),
+    )
+
+
+@q(
+    "q32-frame",
+    "SELECT event_id, ROUND(SUM(value) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_sum "
+    "FROM events",
+)
+def q32(spark, sf):
+    e = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return e.select("event_id", F.round(F.sum("value").over(w), 2).alias("mov_sum"))
+
+
+@q(
+    "q33-topk-group",
+    "SELECT * FROM (SELECT p_brand, p_partkey, p_retailprice, RANK() OVER "
+    "(PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk "
+    "FROM part) WHERE rk <= 2",
+)
+def q33(spark, sf):
+    p = T(spark, sf, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("p_brand", "p_partkey", "p_retailprice", "rk")
+    )
+
+
+@q(
+    "q34-sort",
+    "SELECT * FROM (SELECT l_orderkey, l_linenumber, ROW_NUMBER() OVER "
+    "(ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn "
+    "FROM lineitem) WHERE rn <= 100",
+)
+def q34(spark, sf):
+    li = T(spark, sf, "lineitem")
+    w = Window.orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select("l_orderkey", "l_linenumber", "rn")
+    )
+
+
+@q(
+    "q35-topk",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 50",
+)
+def q35(spark, sf):
+    o = T(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@q(
+    "q36-union",
+    "SELECT key, COUNT(*) AS n FROM (SELECT o_custkey AS key FROM orders "
+    "UNION ALL SELECT c_custkey AS key FROM customer) GROUP BY key",
+)
+def q36(spark, sf):
+    o, c = T(spark, sf, "orders"), T(spark, sf, "customer")
+    u = o.select(F.col("o_custkey").alias("key")).unionByName(
+        c.select(F.col("c_custkey").alias("key"))
+    )
+    return u.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "q37-intersect",
+    "SELECT l_partkey AS pk FROM lineitem INTERSECT SELECT p_partkey AS pk FROM part",
+)
+def q37(spark, sf):
+    li, p = T(spark, sf, "lineitem"), T(spark, sf, "part")
+    return li.select(F.col("l_partkey").alias("pk")).intersect(
+        p.select(F.col("p_partkey").alias("pk"))
+    )
+
+
+@q(
+    "q38-except",
+    "SELECT p_partkey AS pk FROM part EXCEPT SELECT l_partkey AS pk FROM lineitem",
+)
+def q38(spark, sf):
+    li, p = T(spark, sf, "lineitem"), T(spark, sf, "part")
+    return p.select(F.col("p_partkey").alias("pk")).exceptAll(
+        li.select(F.col("l_partkey").alias("pk"))
+    ).distinct()
+
+
+# ===========================================================================
+# §2.8 scalar functions
+# ===========================================================================
+
+
+@q(
+    "q40-scalar-string",
+    "SELECT o_orderkey, UPPER(SUBSTRING(o_orderpriority, 1, 3)) AS pri3, "
+    "CONCAT_WS('-', o_orderstatus, o_orderpriority) AS tag, "
+    "LENGTH(o_orderpriority) AS len FROM orders",
+)
+def q40(spark, sf):
+    o = T(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("pri3"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("tag"),
+        F.length("o_orderpriority").alias("len"),
+    )
+
+
+@q(
+    "q41-scalar-date",
+    "SELECT o_orderkey, CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR)"
+    " AS order_month, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr "
+    "FROM orders",
+)
+def q41(spark, sf):
+    o = T(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias(
+            "order_month"
+        ),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    )
+
+
+@q(
+    "q42-scalar-math",
+    "SELECT l_orderkey, l_linenumber, ROUND(POWER(l_quantity, 2), 2) AS qty_sq, "
+    "ROUND(LN(l_extendedprice), 6) AS ln_price, "
+    "ROUND(RADIANS(l_quantity), 6) AS qty_rad FROM lineitem",
+)
+def q42(spark, sf):
+    li = T(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.round(F.radians("l_quantity"), 6).alias("qty_rad"),
+    )
+
+
+@q(
+    "q43-scalar-array",
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+    "CAST(list_aggregate(list_transform(string_split(text, ' '), w -> length(w)), "
+    "'sum') AS BIGINT) AS total_chars FROM documents",
+)
+def q43(spark, sf):
+    d = T(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda a, b: a + b
+        )
+        .cast("long")
+        .alias("total_chars"),
+    )
+
+
+@q(
+    "q44-scalar-json",
+    "SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events",
+)
+def q44(spark, sf):
+    e = T(spark, sf, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+# ===========================================================================
+# §2.3 geo operators (synthesized points; closed-form SQL oracles)
+# ===========================================================================
+
+
+def points_df(spark, sf) -> DataFrame:
+    raw = T(spark, sf, "lineitem").selectExpr(
+        f"{oracles.PID_EXPR} AS pid", f"{oracles.X_EXPR} AS x", f"{oracles.Y_EXPR} AS y"
+    )
+    # (l_orderkey, l_linenumber) is not unique in the harness data → dedupe
+    # to a unique pid deterministically (mirrors oracles.POINTS_SELECT)
+    return raw.groupBy("pid").agg(F.min("x").alias("x"), F.min("y").alias("y"))
+
+
+@q(
+    "q50-geo-cell",
+    f"SELECT cell, COUNT(*) AS n FROM (SELECT "
+    f"{oracles.__dict__['PID_EXPR']} AS pid, "
+    f"{oracles.X_EXPR} AS x, {oracles.Y_EXPR} AS y FROM lineitem) "
+    "GROUP BY cell",  # placeholder; replaced below with the real cell expr
+)
+def q50(spark, sf):
+    pts = spatial.with_grid_cell(points_df(spark, sf), cell_size=250.0)
+    return pts.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+
+
+# fix q50's oracle with the exact SQL-expressible cell id
+from lagespark.kernels import cells as _cells  # noqa: E402
+
+ORACLES["q50-geo-cell"] = (
+    "SELECT "
+    + _cells.grid_cell_sql("x", "y", 250.0)
+    + " AS cell, COUNT(*) AS n FROM ("
+    + oracles.POINTS_SELECT
+    + ") GROUP BY cell"
+)
+
+
+def _gf_featureset() -> spatial.FeatureSet:
+    return spatial.FeatureSet(fixtures.gruenflaeche_pdf())
+
+
+def _bf_featureset() -> spatial.FeatureSet:
+    return spatial.FeatureSet(fixtures.baufeld_pdf())
+
+
+def _pip_oracle() -> str:
+    cases = oracles.gruenflaeche_pip_cases("x", "y")
+    selects = [
+        f"SELECT pid, '{fid}' AS feature_id FROM pts WHERE {cond}"
+        for fid, cond in cases
+    ]
+    return (
+        "WITH pts AS (" + oracles.POINTS_SELECT + ") " + " UNION ALL ".join(selects)
+    )
+
+
+@q("q51-geo-pip", _pip_oracle())
+def q51(spark, sf):
+    """Point-in-polygon join: native grid cell + broadcast cover prefilter +
+    exact ray-cast kernel (geo-pip)."""
+    res = spatial.pip_join(points_df(spark, sf), _gf_featureset(), cell_size=250.0)
+    return res.select("pid", "feature_id")
+
+
+@q(
+    "q52-geo-zone",
+    "SELECT " + oracles.zone_case_sql("x", "y") + " AS zone, COUNT(*) AS n "
+    "FROM (" + oracles.POINTS_SELECT + ") GROUP BY zone",
+)
+def q52(spark, sf):
+    """Lagefaktor distance-band assignment (geo-buffer semantics on points):
+    exact distance to the nearest construction polygon, vectorized kernel."""
+    pts = spatial.with_zone(points_df(spark, sf), _bf_featureset())
+    return pts.groupBy("zone").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "q53-geo-range-join",
+    "WITH pts AS (" + oracles.POINTS_SELECT + "), "
+    "a AS (SELECT * FROM pts WHERE pid % 37 = 0), "
+    "b AS (SELECT * FROM pts WHERE pid % 41 = 0) "
+    "SELECT a.pid AS pid_l, b.pid AS pid_r, "
+    "ROUND(SQRT(POWER(a.x - b.x, 2) + POWER(a.y - b.y, 2)), 6) AS dist "
+    "FROM a, b WHERE SQRT(POWER(a.x - b.x, 2) + POWER(a.y - b.y, 2)) < 200.0",
+)
+def q53(spark, sf):
+    """Within-distance join via neighbor-cell explosion + exact filter
+    (geo-range-join)."""
+    pts = points_df(spark, sf)
+    a = pts.filter(F.col("pid") % 37 == 0)
+    b = pts.filter(F.col("pid") % 41 == 0)
+    return spatial.range_join(
+        a, b, d=200.0, cell_size=250.0, left_id="pid", right_id="pid"
+    ).select("pid_l", "pid_r", "dist")
+
+
+def _knn_oracle() -> str:
+    from lagespark import fixtures as fx
+
+    dist_cases = []
+    for _, row in fx.gruenflaeche_pdf().iterrows():
+        rings = [np.array([[p["x"], p["y"]] for p in ring]) for ring in row["rings"]]
+        # distance to polygon outer ring (holes do not change exterior dist;
+        # query points never fall inside features' holes region by modulus
+        # subset — verified in tests)
+        d = oracles.polygon_dist_sql("x", "y", rings[0], [rings[0]])
+        dist_cases.append((row["feature_id"], d))
+    unions = " UNION ALL ".join(
+        f"SELECT pid, x, y, '{fid}' AS nn_feature_id, {d} AS d FROM q"
+        for fid, d in dist_cases
+    )
+    return (
+        "WITH q AS (SELECT * FROM (" + oracles.POINTS_SELECT + ") WHERE pid % 97 = 0), "
+        "cand AS (" + unions + ") "
+        "SELECT pid, nn_feature_id, ROUND(d, 6) AS nn_dist FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY pid ORDER BY d, nn_feature_id) "
+        "AS rn FROM cand) WHERE rn = 1"
+    )
+
+
+@q("q54-geo-knn", _knn_oracle())
+def q54(spark, sf):
+    """kNN nearest-compensation-site lookup (geo-knn, BASELINE.json:6)."""
+    pts = points_df(spark, sf).filter(F.col("pid") % 97 == 0)
+    res = spatial.knn_join(pts, _gf_featureset(), k=1)
+    return res.select("pid", "nn_feature_id", "nn_dist")
+
+
+@q(
+    "q55-geo-score",
+    "WITH pts AS (" + oracles.POINTS_SELECT + "), "
+    "zoned AS (SELECT pid, x, y, " + oracles.zone_case_sql("x", "y") + " AS zone "
+    "FROM pts), "
+    "pip AS (" + _pip_oracle().replace("WITH pts AS (" + oracles.POINTS_SELECT + ") ", "") + "), "
+    "fac AS (SELECT 0 AS zone, 1.25 AS lagefaktor UNION ALL SELECT 1, 1.0 "
+    "UNION ALL SELECT 2, 0.75), "
+    "val AS (SELECT 'gf000' AS feature_id, 0.5 AS compensatory_value UNION ALL "
+    "SELECT 'gf001', 1.0 UNION ALL SELECT 'gf002', 1.5 UNION ALL "
+    "SELECT 'gf003', 0.5 UNION ALL SELECT 'gf004', 1.0 UNION ALL "
+    "SELECT 'gf005', 1.5 UNION ALL SELECT 'gf006', 0.5 UNION ALL "
+    "SELECT 'gf007', 1.0) "
+    "SELECT p.feature_id, z.zone, COUNT(*) AS n_points, "
+    "ROUND(SUM(v.compensatory_value * f.lagefaktor), 6) AS score "
+    "FROM pip p JOIN zoned z USING (pid) JOIN fac f USING (zone) "
+    "JOIN val v USING (feature_id) GROUP BY p.feature_id, z.zone",
+)
+def q55(spark, sf):
+    """The flagship Lagefaktor pipeline: cell index → broadcast cover join →
+    exact PIP → distance-band zone → factor join → per-feature×zone score
+    (geo-score; BASELINE.json:6 'per-feature area×factor aggregation'
+    semantics over contained records)."""
+    gf = _gf_featureset()
+    bf = _bf_featureset()
+    pts = points_df(spark, sf)
+    assigned = spatial.pip_join(pts, gf, cell_size=250.0)
+    zoned = spatial.with_zone(assigned, bf)
+    vals = gf.attrs.reset_index()[["feature_id", "compensatory_value"]]
+    vdf = F.broadcast(zoned.sparkSession.createDataFrame(vals))
+    factors = F.broadcast(
+        zoned.sparkSession.createDataFrame(fixtures.factors_pdf())
+    ).select("zone", "lagefaktor")
+    return spatial.score_points(
+        zoned.join(vdf, "feature_id"), factors, value_col="compensatory_value"
+    )
+
+
+@q(
+    "q56-geo-overlay-rect",
+    "WITH r AS (" + oracles.RECT_SELECT + ") "
+    "SELECT ROUND(SUM(GREATEST(0.0, LEAST(rx0 + rw, 6000.0) - GREATEST(rx0, 4000.0)) * "
+    "GREATEST(0.0, LEAST(ry0 + rh, 7000.0) - GREATEST(ry0, 5000.0))), 4) AS total_area, "
+    "CAST(COUNT_IF(GREATEST(0.0, LEAST(rx0 + rw, 6000.0) - GREATEST(rx0, 4000.0)) * "
+    "GREATEST(0.0, LEAST(ry0 + rh, 7000.0) - GREATEST(ry0, 5000.0)) > 0) AS BIGINT) "
+    "AS n_hit FROM r",
+)
+def q56(spark, sf):
+    """Polygon overlay (geo-overlay) checked through the REAL Sutherland–
+    Hodgman kernel: synthesized rectangles-as-polygons clipped against a
+    fixed window; oracle is the closed-form rect∩rect area."""
+    r = T(spark, sf, "lineitem").selectExpr(
+        "l_orderkey * 10 + l_linenumber AS rid",
+        "((l_orderkey * 131 + l_partkey * 17) % 95000) / 10.0 AS rx0",
+        "((l_orderkey * 283 + l_suppkey * 19 + l_partkey * 7) % 95000) / 10.0 AS ry0",
+        "50.0 + (l_partkey % 450) AS rw",
+        "50.0 + ((l_partkey * 3 + l_suppkey * 11) % 450) AS rh",
+    )
+    win = np.array([[4000.0, 5000.0], [6000.0, 5000.0], [6000.0, 7000.0], [4000.0, 7000.0]])
+    from pyspark.sql.types import DoubleType
+
+    from lagespark.kernels import geom
+
+    @F.pandas_udf(DoubleType())
+    def clip_area_udf(
+        rx0: pd.Series, ry0: pd.Series, rw: pd.Series, rh: pd.Series
+    ) -> pd.Series:
+        out = np.empty(len(rx0))
+        x0 = rx0.to_numpy()
+        y0 = ry0.to_numpy()
+        w = rw.to_numpy()
+        h = rh.to_numpy()
+        for i in range(len(out)):
+            ring = np.array(
+                [
+                    [x0[i], y0[i]],
+                    [x0[i] + w[i], y0[i]],
+                    [x0[i] + w[i], y0[i] + h[i]],
+                    [x0[i], y0[i] + h[i]],
+                ]
+            )
+            out[i] = geom.clip_area(ring, win)
+        return pd.Series(out)
+
+    clipped = r.withColumn("a", clip_area_udf("rx0", "ry0", "rw", "rh"))
+    return clipped.agg(
+        F.round(F.sum("a"), 4).alias("total_area"),
+        F.sum((F.col("a") > 0).cast("long")).alias("n_hit"),
+    )
+
+
+@q("q57-geo-s2cell")  # trig-based cell encode — no SQL mirror → rows-only
+def q57(spark, sf):
+    pts = points_df(spark, sf)
+    lonlat = pts.select(
+        "pid",
+        (F.col("x") / fixtures.M_PER_DEG + fixtures.LON0).alias("lon"),
+        (F.col("y") / fixtures.M_PER_DEG + fixtures.LAT0).alias("lat"),
+    )
+    c = spatial.with_s2_cell(lonlat, "lat", "lon", level=15)
+    return c.groupBy("cell_s2").agg(F.count(F.lit(1)).alias("n"))

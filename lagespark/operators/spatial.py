@@ -1,0 +1,389 @@
+"""Cell-indexed spatial operators (SURVEY.md §2.3).
+
+Design (scale-first):
+  * The fact side (points / image records) is indexed with a cell id computed
+    by NATIVE Catalyst floor arithmetic (grid index) or a vectorized pandas
+    UDF (S2 index) — the cell id is the shuffle/broadcast join key.
+  * Feature sets (construction / compensatory / protected polygons) are
+    config-scale (thousands, not billions): their covers are built driver-side
+    and BROADCAST; the polygon coordinate arrays ride to executors inside the
+    UDF closure (serialized once per task, not per row).
+  * Exact geometry runs as vectorized numpy kernels over Arrow batches —
+    never per-row Python (BASELINE.json:15).
+
+At 100 TB the points table dominates; every operator here touches it with
+(a) a pushable native filter or (b) one cell equi-join against a broadcast
+dim, so there is no fact-side shuffle at all in the PIP/zone/score path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, DoubleType, IntegerType, LongType
+
+from lagespark.kernels import cells, geom
+
+# ---------------------------------------------------------------------------
+# feature representation (driver-side, broadcastable)
+# ---------------------------------------------------------------------------
+
+
+class FeatureSet:
+    """Small polygon collection: feature_id → rings (numpy) + attributes.
+
+    Built from a pandas DataFrame in the fixture encoding (rings = list of
+    list of {x,y}). Deliberately a plain picklable object so pandas-UDF
+    closures capture it and Spark ships it once per task.
+    """
+
+    def __init__(self, pdf: pd.DataFrame):
+        self.ids: list[str] = list(pdf["feature_id"])
+        self.rings: dict[str, list[np.ndarray]] = {}
+        self.bbox: dict[str, tuple[float, float, float, float]] = {}
+        self.attrs = pdf.drop(columns=["rings"]).set_index("feature_id")
+        for _, row in pdf.iterrows():
+            rr = [
+                np.array([[p["x"], p["y"]] for p in ring], dtype=np.float64)
+                for ring in row["rings"]
+            ]
+            self.rings[row["feature_id"]] = rr
+            self.bbox[row["feature_id"]] = (
+                row["xmin"],
+                row["ymin"],
+                row["xmax"],
+                row["ymax"],
+            )
+
+    def polys(self) -> list[list[np.ndarray]]:
+        return [self.rings[i] for i in self.ids]
+
+
+# ---------------------------------------------------------------------------
+# cell indexing (geo-cell)
+# ---------------------------------------------------------------------------
+
+
+def with_grid_cell(
+    df: DataFrame, x: str = "x", y: str = "y", cell_size: float = 250.0, out: str = "cell"
+) -> DataFrame:
+    """Planar grid cell id as a NATIVE Catalyst expression — stays inside
+    whole-stage codegen, no Python worker, and is pushdown/prune friendly."""
+    return df.withColumn(
+        out,
+        (F.floor(F.col(x) / F.lit(cell_size)).cast("long") + cells.GRID_OFF)
+        * F.lit(1 << cells.GRID_SHIFT)
+        + (F.floor(F.col(y) / F.lit(cell_size)).cast("long") + cells.GRID_OFF),
+    )
+
+
+def with_s2_cell(
+    df: DataFrame, lat: str = "lat", lon: str = "lon", level: int = 15, out: str = "cell_s2"
+) -> DataFrame:
+    """S2-family cell id (H3-res-9-equivalent at level 15) via a vectorized
+    pandas UDF over Arrow batches (BASELINE.json:6)."""
+
+    @F.pandas_udf(LongType())
+    def enc(lat_s: pd.Series, lon_s: pd.Series) -> pd.Series:
+        return pd.Series(cells.s2_encode(lat_s.to_numpy(), lon_s.to_numpy(), level))
+
+    return df.withColumn(out, enc(F.col(lat), F.col(lon)))
+
+
+# ---------------------------------------------------------------------------
+# polygon cell cover (geo-cover)
+# ---------------------------------------------------------------------------
+
+
+def feature_cover_pdf(
+    feats: FeatureSet, cell_size: float = 250.0, pad: float = 0.0, exact: bool = True
+) -> pd.DataFrame:
+    """(feature_id, cell) cover rows, driver-side (features are config-scale).
+    Conservative: every cell whose rectangle intersects the (padded) polygon.
+    With exact=True, bbox-cover cells that provably miss the polygon are
+    dropped (clip test) — smaller broadcast, same correctness."""
+    out_f: list[str] = []
+    out_c: list[int] = []
+    for fid in feats.ids:
+        xmin, ymin, xmax, ymax = feats.bbox[fid]
+        cand = cells.grid_cover_bbox(xmin, ymin, xmax, ymax, cell_size, pad=pad)
+        if exact and pad == 0.0:
+            keep = []
+            outer = feats.rings[fid][0]
+            for c in cand:
+                i, j = cells.grid_decode(np.array([c]))
+                x0, y0 = float(i[0]) * cell_size, float(j[0]) * cell_size
+                rect = np.array(
+                    [
+                        [x0, y0],
+                        [x0 + cell_size, y0],
+                        [x0 + cell_size, y0 + cell_size],
+                        [x0, y0 + cell_size],
+                    ]
+                )
+                if geom.clip_area(outer, rect) > 0.0:
+                    keep.append(int(c))
+            cand = np.array(keep, dtype=np.int64)
+        out_f.extend([fid] * len(cand))
+        out_c.extend(int(c) for c in cand)
+    return pd.DataFrame({"feature_id": out_f, "cell": pd.array(out_c, dtype="int64")})
+
+
+def feature_cover_df(
+    spark: SparkSession, feats: FeatureSet, cell_size: float = 250.0, pad: float = 0.0
+) -> DataFrame:
+    return spark.createDataFrame(feature_cover_pdf(feats, cell_size, pad))
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon join (geo-pip)
+# ---------------------------------------------------------------------------
+
+
+def pip_join(
+    points: DataFrame,
+    feats: FeatureSet,
+    x: str = "x",
+    y: str = "y",
+    cell_size: float = 250.0,
+) -> DataFrame:
+    """points ⋈ features on containment. Plan: native cell id → broadcast
+    equi-join with the feature cover (prefilter) → exact ray-cast kernel in a
+    vectorized pandas UDF. Fact side is never shuffled."""
+    spark = points.sparkSession
+    pts = with_grid_cell(points, x, y, cell_size)
+    cover = F.broadcast(feature_cover_df(spark, feats, cell_size))
+    cand = pts.join(cover, "cell")
+
+    rings = feats.rings  # closure-captured, shipped once per task
+
+    @F.pandas_udf(BooleanType())
+    def inside(xs: pd.Series, ys: pd.Series, fid: pd.Series) -> pd.Series:
+        xv = xs.to_numpy(dtype=np.float64)
+        yv = ys.to_numpy(dtype=np.float64)
+        res = np.zeros(len(xv), dtype=bool)
+        for f, idx in pd.Series(range(len(fid))).groupby(fid.to_numpy()):
+            ii = idx.to_numpy()
+            res[ii] = geom.point_in_polygon(xv[ii], yv[ii], rings[f])
+        return pd.Series(res)
+
+    return cand.filter(inside(F.col(x), F.col(y), F.col("feature_id"))).drop("cell")
+
+
+# ---------------------------------------------------------------------------
+# distance / Lagefaktor zone (geo-buffer applied to points)
+# ---------------------------------------------------------------------------
+
+
+def with_min_dist(
+    df: DataFrame,
+    feats: FeatureSet,
+    x: str = "x",
+    y: str = "y",
+    out: str = "dist",
+) -> DataFrame:
+    polys = feats.polys()
+
+    @F.pandas_udf(DoubleType())
+    def dist(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        return pd.Series(
+            geom.min_dist_to_polygons(
+                xs.to_numpy(dtype=np.float64), ys.to_numpy(dtype=np.float64), polys
+            )
+        )
+
+    return df.withColumn(out, dist(F.col(x), F.col(y)))
+
+
+def with_zone(
+    df: DataFrame,
+    feats: FeatureSet,
+    thresholds: tuple[float, ...] = (100.0, 625.0),
+    x: str = "x",
+    y: str = "y",
+    out: str = "zone",
+) -> DataFrame:
+    """Lagefaktor distance band per point (BASELINE.json:6: <100 m, <625 m,
+    >625 m) — exact distances, vectorized."""
+    polys = feats.polys()
+
+    @F.pandas_udf(IntegerType())
+    def zone(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        return pd.Series(
+            geom.zone_of_points(
+                xs.to_numpy(dtype=np.float64),
+                ys.to_numpy(dtype=np.float64),
+                polys,
+                thresholds,
+            )
+        )
+
+    return df.withColumn(out, zone(F.col(x), F.col(y)))
+
+
+# ---------------------------------------------------------------------------
+# scoring aggregation (geo-score) — pure Catalyst
+# ---------------------------------------------------------------------------
+
+
+def score_points(
+    assigned: DataFrame,
+    factors: DataFrame,
+    value_col: str = "compensatory_value",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-feature, per-zone Lagefaktor score over assigned points:
+    score = Σ value × lagefaktor (× weight). Pure groupBy/agg — map-side
+    partial aggregation + broadcast of the 3-row factors table."""
+    w = F.col(value_col) * F.col("lagefaktor")
+    if weight_col:
+        w = w * F.col(weight_col)
+    return (
+        assigned.join(F.broadcast(factors), "zone")
+        .groupBy("feature_id", "zone")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.sum(w), 6).alias("score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# within-distance join (geo-range-join) and kNN (geo-knn)
+# ---------------------------------------------------------------------------
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    d: float,
+    cell_size: float = 250.0,
+    lsuffix: str = "_l",
+    rsuffix: str = "_r",
+    left_id: str = "id",
+    right_id: str = "id",
+) -> DataFrame:
+    """Pairs (l, r) with euclidean distance < d. Left side gets its cell
+    EXPLODED to the Chebyshev-k neighbor disk (k = ceil(d / cell_size)),
+    right side keeps one cell → equi-join on cell → exact distance filter.
+    Exploding the smaller/left side keeps the big side shuffle-minimal."""
+    k = int(np.ceil(d / cell_size))
+    offs = [(i, j) for i in range(-k, k + 1) for j in range(-k, k + 1)]
+    li = F.floor(F.col("x") / F.lit(cell_size)).cast("long")
+    lj = F.floor(F.col("y") / F.lit(cell_size)).cast("long")
+    neigh = F.array(
+        *[
+            ((li + di + cells.GRID_OFF) * (1 << cells.GRID_SHIFT) + (lj + dj + cells.GRID_OFF))
+            for di, dj in offs
+        ]
+    )
+    l = (
+        left.select(
+            F.col(left_id).alias(f"{left_id}{lsuffix}"),
+            F.col("x").alias(f"x{lsuffix}"),
+            F.col("y").alias(f"y{lsuffix}"),
+            F.explode(neigh).alias("cell"),
+        )
+    )
+    r = with_grid_cell(right, "x", "y", cell_size).select(
+        F.col(right_id).alias(f"{right_id}{rsuffix}"),
+        F.col("x").alias(f"x{rsuffix}"),
+        F.col("y").alias(f"y{rsuffix}"),
+        "cell",
+    )
+    dist = F.sqrt(
+        (F.col(f"x{lsuffix}") - F.col(f"x{rsuffix}")) ** 2
+        + (F.col(f"y{lsuffix}") - F.col(f"y{rsuffix}")) ** 2
+    )
+    return l.join(r, "cell").where(dist < d).drop("cell").withColumn("dist", F.round(dist, 6))
+
+
+def knn_join(
+    queries: DataFrame,
+    targets: FeatureSet,
+    k: int = 1,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """k nearest features (e.g. compensation sites, BASELINE.json:6 'kNN
+    nearest-compensation-site lookup') per query point, by exact
+    point-to-polygon distance. Feature set is config-scale → distances to ALL
+    features are computed in one vectorized kernel (a (batch × features)
+    numpy pass) and the top-k selected in-batch: no shuffle, no iteration,
+    ring-closure trivially satisfied. For feature sets too large to
+    broadcast, fall back to range_join + window rank."""
+    # distance to the feature FOOTPRINT (outer ring): a point inside a hole
+    # of a site is still distance 0 to that site
+    polys = [[rr[0]] for rr in targets.polys()]
+    ids = targets.ids
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    out_t = ArrayType(
+        StructType(
+            [
+                StructField("feature_id", StringType()),
+                StructField("dist", DoubleType()),
+                StructField("rank", IntegerType()),
+            ]
+        )
+    )
+
+    @F.pandas_udf(out_t)
+    def nearest(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        xv = xs.to_numpy(dtype=np.float64)
+        yv = ys.to_numpy(dtype=np.float64)
+        dmat = np.stack(
+            [geom.point_to_polygon_dist(xv, yv, rr) for rr in polys], axis=1
+        )  # (P, F)
+        order = np.argsort(dmat, axis=1, kind="stable")[:, :k]
+        rows = []
+        for p in range(len(xv)):
+            rows.append(
+                [
+                    {
+                        "feature_id": ids[int(order[p, j])],
+                        "dist": round(float(dmat[p, order[p, j]]), 6),
+                        "rank": j + 1,
+                    }
+                    for j in range(min(k, dmat.shape[1]))
+                ]
+            )
+        return pd.Series(rows)
+
+    res = queries.withColumn("nn", nearest(F.col(x), F.col(y)))
+    return res.select(
+        *[c for c in queries.columns], F.explode("nn").alias("nn1")
+    ).select(
+        *[c for c in queries.columns],
+        F.col("nn1.feature_id").alias("nn_feature_id"),
+        F.col("nn1.dist").alias("nn_dist"),
+        F.col("nn1.rank").alias("nn_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# explicit skew salting (geo-salt)
+# ---------------------------------------------------------------------------
+
+
+def salted_cell_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    salt: int = 8,
+    cell_col: str = "cell",
+    fact_key: str = "image_id",
+) -> DataFrame:
+    """Explicit salting for skewed (urban) cells (BASELINE.json:14): fact
+    rows get salt = pmod(hash(key), S); the dim side is replicated ×S so the
+    equi-join key becomes (cell, salt). Used when the dim is too big to
+    broadcast and hot cells would overflow a shuffle partition; AQE skew-join
+    remains on as a backstop (only helps sort-merge joins)."""
+    f = fact.withColumn("salt", F.pmod(F.hash(F.col(fact_key)), F.lit(salt)))
+    d = dim.join(
+        F.broadcast(
+            fact.sparkSession.range(salt).select(F.col("id").cast("int").alias("salt"))
+        )
+    )
+    return f.join(d, [cell_col, "salt"]).drop("salt")

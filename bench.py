@@ -1,0 +1,86 @@
+"""Benchmark runner (driver contract: one JSON line to stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Headline set = the engine's reason to exist: the flagship Lagefaktor spatial
+pipeline, PIP join, range join, kNN, cell aggregation, plus representative
+relational joins/aggs. Results are materialized with the noop sink (no
+driver-side collect cost). Extras record throughput of the flagship spatial
+join in rows/sec — the BASELINE.json:2 metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q55-geo-score",      # flagship: cell index + cover join + PIP + zone + score
+    "q51-geo-pip",        # point-in-polygon join
+    "q52-geo-zone",       # distance-band assignment
+    "q53-geo-range-join", # neighbor-cell range join
+    "q54-geo-knn",        # nearest compensation site
+    "q50-geo-cell",       # cell-id aggregation (native path)
+    "q20-agg-basic",      # TPC-H Q1 shape
+    "q10-join-inner",     # shuffle join + agg
+    "q14-join-bcast",     # broadcast join
+    "q30-rank",           # window
+]
+
+
+def materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from lagespark import harness
+    from lagespark.session import get_spark
+
+    spark = get_spark(f"local[{cpus}]", app_name="lagespark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up the JVM AND the Python UDF workers once (excluded from timings:
+    # ~1 s/worker pandas+pyarrow import cost would otherwise land on the
+    # first pandas-UDF query)
+    harness.QUERIES["q50-geo-cell"](spark, sf_dir).count()
+    harness.QUERIES["q52-geo-zone"](spark, sf_dir).count()
+
+    n_points = harness.points_df(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = harness.QUERIES[name]
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    flagship_sec = timings["q55-geo-score"]
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(cpus),
+        "spatial_rows": n_points,
+        "flagship_rows_per_sec": round(n_points / flagship_sec) if flagship_sec else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

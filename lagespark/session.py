@@ -16,7 +16,7 @@ def get_spark(
     master: str | None = None,
     app_name: str = "lagespark",
     shuffle_partitions: int | None = None,
-    arrow_batch: int = 1024,
+    arrow_batch: int = 10_000,
     extra_conf: dict | None = None,
 ) -> SparkSession:
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"

@@ -15,20 +15,21 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _registry():
+    from lagespark import harness
+    from lagespark import harness2  # noqa: F401  (registers wave-2 queries)
+
+    return harness
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from lagespark import harness
-
-    return harness.QUERIES["q55-geo-score"](spark, "/root/testdata/sf0.001")
+    return _registry().QUERIES["q55-geo-score"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from lagespark import harness
-
-    return dict(harness.QUERIES)
+    return dict(_registry().QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    from lagespark import harness
-
-    return dict(harness.ORACLES)
+    return dict(_registry().ORACLES)

@@ -1,0 +1,177 @@
+"""Wave-2 query registry: dedup / similarity / text analysis (training-data
+pipeline operators) — registered into the same QUERIES/ORACLES maps."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lagespark.harness import ORACLES, QUERIES, T, q
+from lagespark.operators import dedup, similarity, text
+
+# ===========================================================================
+# deduplication
+# ===========================================================================
+
+
+@q(
+    "q70-dedup-exact",
+    "WITH all_docs AS (SELECT * FROM documents UNION ALL "
+    "SELECT * FROM documents WHERE doc_id % 10 = 0) "
+    "SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keeper "
+    "FROM all_docs GROUP BY md5(text) HAVING COUNT(*) > 1",
+)
+def q70(spark, sf):
+    """Exact dedup (hash-groupBy). The harness documents are all unique, so
+    known duplicates are injected by unioning a deterministic sample."""
+    d = T(spark, sf, "documents")
+    dup = d.filter(F.col("doc_id") % 10 == 0)
+    return dedup.exact_dedup(d.unionByName(dup))
+
+
+@q(
+    "q71-dedup-ngram-jaccard",
+    "WITH s AS (SELECT doc_id, " + dedup.shingles_sql("text", 3) + " AS sh "
+    "FROM documents WHERE doc_id < 150) "
+    "SELECT a.doc_id AS a, b.doc_id AS b, "
+    "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+    "len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard "
+    "FROM s a, s b WHERE a.doc_id < b.doc_id "
+    "AND ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+    "len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.62",
+)
+def q71(spark, sf):
+    d = T(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.62)
+
+
+@q(
+    "q72-dedup-minhash-lsh",
+    dedup.minhash_pairs_sql(perms=8, band_rows=2, n=3, source="documents"),
+)
+def q72(spark, sf):
+    return dedup.minhash_pairs(T(spark, sf, "documents"), perms=8, band_rows=2, n=3)
+
+
+def _simhash_oracle() -> str:
+    votes = ", ".join(
+        f"{e} AS {a}" for a, e in dedup.simhash_vote_exprs(16, "duckdb")
+    )
+    val = dedup.simhash_value_sql(16)
+    return (
+        "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+        "FROM documents), v AS (SELECT doc_id, "
+        + votes
+        + " FROM words GROUP BY doc_id) "
+        f"SELECT doc_id, {val} AS simhash FROM v"
+    )
+
+
+@q("q73-dedup-simhash", _simhash_oracle())
+def q73(spark, sf):
+    d = T(spark, sf, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    v = words.groupBy("doc_id").agg(
+        *[F.expr(e).alias(a) for a, e in dedup.simhash_vote_exprs(16, "spark")]
+    )
+    return v.selectExpr("doc_id", dedup.simhash_value_sql(16) + " AS simhash")
+
+
+@q(
+    "q74-dedup-embed-cosine",
+    "SELECT a.vec_id AS a, b.vec_id AS b, "
+    "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos "
+    "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "
+    "AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.3",
+)
+def q74(spark, sf):
+    """Embedding-cosine near-duplicate pairs (vectorized matmul per batch)."""
+    e = T(spark, sf, "embeddings")
+    return similarity.cosine_pairs(e, threshold=0.3)
+
+
+# ===========================================================================
+# similarity search
+# ===========================================================================
+
+
+@q(
+    "q75-ann-topk",
+    "WITH qs AS (SELECT * FROM embeddings WHERE vec_id % 25 = 0), "
+    "cand AS (SELECT q.vec_id AS qid, t.vec_id AS nn_id, "
+    "ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(t.embedding AS DOUBLE[])), 6) AS cos "
+    "FROM qs q, embeddings t WHERE q.vec_id <> t.vec_id) "
+    "SELECT qid, nn_id, cos, CAST(rank AS INT) AS rank FROM ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) "
+    "AS rank FROM cand) WHERE rank <= 5",
+)
+def q75(spark, sf):
+    """Brute-force cosine top-k (exact baseline for ANN)."""
+    e = T(spark, sf, "embeddings")
+    qs = e.filter(F.col("vec_id") % 25 == 0)
+    return similarity.cosine_topk(qs, e, k=5, round_to=6)
+
+
+@q("q76-ann-lsh")  # approximate (seeded hyperplanes) → rows-only check
+def q76(spark, sf):
+    """Random-hyperplane LSH buckets + exact refine — the shuffle-based scale
+    path; recall vs q75 is asserted in tests."""
+    e = T(spark, sf, "embeddings")
+    qs = e.filter(F.col("vec_id") % 25 == 0)
+    # 5 planes → 32 buckets: sized to the 500-vector harness table (pick
+    # planes ≈ log2(N / desired_bucket_size) at scale)
+    return similarity.lsh_topk(qs, e, k=5, planes=5)
+
+
+# ===========================================================================
+# text analysis
+# ===========================================================================
+
+
+@q(
+    "q77-text-langid",
+    "SELECT doc_id, " + text.langid_expr("text", "duckdb") + " AS lang_pred "
+    "FROM documents",
+)
+def q77(spark, sf):
+    d = T(spark, sf, "documents")
+    return d.selectExpr("doc_id", text.langid_expr("text", "spark") + " AS lang_pred")
+
+
+def _quality_oracle() -> str:
+    ex = text.quality_exprs("text", "duckdb")
+    cols = ", ".join(f"{v} AS {k}" for k, v in ex.items())
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+@q("q78-text-quality", _quality_oracle())
+def q78(spark, sf):
+    d = T(spark, sf, "documents")
+    ex = text.quality_exprs("text", "spark")
+    return d.selectExpr("doc_id", *[f"{v} AS {k}" for k, v in ex.items()])
+
+
+@q(
+    "q79-text-tokens",
+    "SELECT doc_id, "
+    + text.token_count_ws_expr("text", "duckdb")
+    + " AS n_ws_tokens, "
+    + text.token_count_bpeish_expr("text", "duckdb")
+    + " AS n_bpeish_tokens FROM documents",
+)
+def q79(spark, sf):
+    d = T(spark, sf, "documents")
+    return d.selectExpr(
+        "doc_id",
+        text.token_count_ws_expr("text", "spark") + " AS n_ws_tokens",
+        text.token_count_bpeish_expr("text", "spark") + " AS n_bpeish_tokens",
+    )
+
+
+@q(
+    "q80-text-fingerprint",
+    "SELECT doc_id, " + text.fingerprint_expr("text", "duckdb") + " AS fp "
+    "FROM documents",
+)
+def q80(spark, sf):
+    d = T(spark, sf, "documents")
+    return d.selectExpr("doc_id", text.fingerprint_expr("text", "spark") + " AS fp")

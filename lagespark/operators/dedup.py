@@ -1,0 +1,170 @@
+"""Deduplication operators for training-data pipelines.
+
+All variants are expressed in NATIVE Catalyst (higher-order array functions,
+md5, groupBy) so they scale JVM-side with no Python worker in the path:
+
+  exact_dedup       — hash-groupBy on content digest
+  shingle_col       — distinct character n-gram shingles (higher-order fns)
+  minhash_pairs     — MinHash+LSH: per-permutation min over md5-hex of
+                      (shingle, perm) — min of fixed-width hex strings ==
+                      numeric min, so the signature is portable SQL; band
+                      keys bucket-join candidate pairs
+  simhash_expr      — n-bit SimHash as generated arithmetic (portable to the
+                      DuckDB oracle dialect — no bitwise ops)
+  ngram_jaccard_pairs — exact set-Jaccard over shingles for pair subsets
+
+Scale notes: minhash_pairs shuffles (doc, band_key) — at 10^12 docs the band
+key space is huge and uniform (md5), so the shuffle partitions evenly; the
+pair self-join runs per band bucket. Exact jaccard is quadratic → used on
+LSH candidates or bounded subsets only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content digest → (h, n, keeper)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min(id_col).alias("keeper"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def shingle_col(text_col: str = "text", n: int = 3):
+    """Distinct character n-gram shingles as a native array column."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(F.col(text_col)) - (n - 1)),
+            lambda i: F.col(text_col).substr(i, F.lit(n)),
+        )
+    )
+
+
+def shingles_sql(text_col: str = "text", n: int = 3) -> str:
+    """DuckDB mirror of shingle_col."""
+    return (
+        f"list_distinct(list_transform(range(1, length({text_col}) - {n - 2}), "
+        f"i -> substr({text_col}, CAST(i AS INT), {n})))"
+    )
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", perms: int = 8, n: int = 3
+) -> DataFrame:
+    """(id, p, mh): MinHash per permutation. mh = MIN over shingles of
+    md5(shingle || '#' || p) prefix — fixed-width lowercase hex, so string
+    MIN == numeric MIN and the same text evaluates in any SQL engine."""
+    sh = df.select(F.col(id_col), F.explode(shingle_col(text_col, n)).alias("sh"))
+    sp = sh.join(
+        F.broadcast(
+            df.sparkSession.range(perms).select(F.col("id").cast("int").alias("p"))
+        )
+    )
+    return sp.groupBy(id_col, "p").agg(
+        F.min(
+            F.substring(
+                F.md5(F.concat(F.col("sh"), F.lit("#"), F.col("p").cast("string"))), 1, 15
+            )
+        ).alias("mh")
+    )
+
+
+def minhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    perms: int = 8,
+    band_rows: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (a, b): docs sharing ≥1 band of the MinHash
+    signature. bands = perms / band_rows."""
+    sig = minhash_signature(df, id_col, text_col, perms, n)
+    banded = sig.withColumn("band", (F.col("p") / band_rows).cast("int"))
+    keys = banded.groupBy(id_col, "band").agg(
+        F.concat_ws("|", F.sort_array(F.collect_list(F.concat_ws(":", "p", "mh")))).alias(
+            "band_key"
+        )
+    )
+    a = keys.select(F.col(id_col).alias("a"), "band", "band_key")
+    b = keys.select(F.col(id_col).alias("b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_pairs_sql(
+    perms: int = 8, band_rows: int = 2, n: int = 3, source: str = "documents",
+    id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    """DuckDB mirror of minhash_pairs (same md5 math, same band keys)."""
+    return f"""
+WITH sh AS (
+  SELECT {id_col}, unnest({shingles_sql(text_col, n)}) AS sh FROM {source}
+),
+sig AS (
+  SELECT {id_col}, CAST(p AS INT) AS p,
+         MIN(substr(md5(sh || '#' || CAST(p AS VARCHAR)), 1, 15)) AS mh
+  FROM sh CROSS JOIN range({perms}) t(p) GROUP BY {id_col}, p
+),
+keys AS (
+  SELECT {id_col}, CAST(FLOOR(p / {band_rows}) AS INT) AS band,
+         array_to_string(list_sort(list(CAST(p AS VARCHAR) || ':' || mh)), '|') AS band_key
+  FROM sig GROUP BY {id_col}, band
+)
+SELECT DISTINCT a.{id_col} AS a, b.{id_col} AS b
+FROM keys a JOIN keys b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.{id_col} < b.{id_col}
+"""
+
+
+def _hexdigit(expr: str, dialect: str) -> str:
+    fn = "instr" if dialect == "spark" else "strpos"
+    return f"({fn}('0123456789abcdef', {expr}) - 1)"
+
+
+def simhash_vote_exprs(bits: int, dialect: str) -> list[tuple[str, str]]:
+    """n-bit SimHash of whitespace words: per-bit vote-sum aggregation exprs
+    [(alias, expr)] over a pre-exploded words relation (word column w).
+    Bit j comes from hex digit j//4 of md5(w), bit (3 - j%4) — extracted with
+    FLOOR division (portable; DuckDB CAST rounds, so no bare CAST)."""
+    votes = []
+    for j in range(bits):
+        digit = _hexdigit(f"substr(md5(w), {1 + j // 4}, 1)", dialect)
+        bit = f"(CAST(FLOOR({digit} / {2 ** (3 - j % 4)}) AS INT) % 2)"
+        votes.append((f"s{j}", f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END)"))
+    return votes
+
+
+def simhash_value_sql(bits: int) -> str:
+    return "(" + " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)) + ")"
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs over a (bounded) input: |∩| / |∪| on
+    distinct shingle sets. Quadratic — apply to LSH candidates or subsets."""
+    s = df.select(F.col(id_col), shingle_col(text_col, n).alias("sh"))
+    a = s.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    b = s.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_distinct(F.concat("sh_a", "sh_b"))
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

@@ -1,0 +1,110 @@
+"""Text-analysis operators (language-ID, quality scoring, token counting,
+fingerprinting) — all NATIVE Catalyst expressions (no Python workers), with
+DuckDB-dialect mirrors for the oracle gate.
+
+Each builder returns (spark_expr_sql, duckdb_expr_sql) for one scalar so the
+harness applies the Spark text via selectExpr and embeds the DuckDB text in
+the oracle — guaranteeing both engines run the same math.
+"""
+
+from __future__ import annotations
+
+# marker stopword lists for the rule-based language ID (heuristic n-gram /
+# stopword scoring — labels in the harness `documents` table are synthetic,
+# so the oracle is THIS rule, not the label column)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "with"),
+    "de": ("der", "die", "und", "nicht", "mit"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "que", "de", "los"),
+}
+
+BPE_ISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _split(dialect: str, col: str) -> str:
+    return (
+        f"split({col}, ' ')" if dialect == "spark" else f"string_split({col}, ' ')"
+    )
+
+
+def _list_filter(dialect: str, lst: str, lam: str) -> str:
+    fn = "filter" if dialect == "spark" else "list_filter"
+    return f"{fn}({lst}, {lam})"
+
+
+def _size(dialect: str, lst: str) -> str:
+    return f"size({lst})" if dialect == "spark" else f"CAST(len({lst}) AS INT)"
+
+
+def lang_score_exprs(col: str, dialect: str) -> dict[str, str]:
+    """Per-language marker-word hit counts over whitespace tokens."""
+    toks = _split(dialect, col)
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        out[lang] = _size(dialect, _list_filter(dialect, toks, f"w -> w IN ({inlist})"))
+    return out
+
+
+def langid_expr(col: str, dialect: str) -> str:
+    """argmax over language scores, fixed tie-break order en>de>fr>es, 'und'
+    (undetermined) when every score is 0."""
+    s = lang_score_exprs(col, dialect)
+    order = list(LANG_MARKERS)
+    zero = " AND ".join(f"{s[l]} = 0" for l in order)
+    cases = []
+    for i, l in enumerate(order):
+        geq = " AND ".join(f"{s[l]} >= {s[m]}" for m in order[i + 1 :]) or "TRUE"
+        gt = " AND ".join(f"{s[l]} > {s[m]}" for m in order[:i]) or "TRUE"
+        cases.append(f"WHEN {gt} AND {geq} THEN '{l}'")
+    return f"(CASE WHEN {zero} THEN 'und' " + " ".join(cases) + " ELSE 'und' END)"
+
+
+def token_count_ws_expr(col: str, dialect: str) -> str:
+    return _size(dialect, _split(dialect, col))
+
+
+def token_count_bpeish_expr(col: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"size(regexp_extract_all({col}, '{BPE_ISH_RE}', 0))"
+    return f"CAST(len(regexp_extract_all({col}, '{BPE_ISH_RE}')) AS INT)"
+
+
+def quality_exprs(col: str, dialect: str) -> dict[str, str]:
+    """Quality signals: length, punctuation ratio, stopword ratio, mean word
+    length — the usual pretraining-corpus filters."""
+    toks = _split(dialect, col)
+    n_tok = _size(dialect, toks)
+    stop = ", ".join(f"'{w}'" for ws in LANG_MARKERS.values() for w in ws)
+    n_stop = _size(dialect, _list_filter(dialect, toks, f"w -> w IN ({stop})"))
+    if dialect == "spark":
+        n_punct = f"size(regexp_extract_all({col}, '[^A-Za-z0-9 ]', 0))"
+    else:
+        n_punct = f"CAST(len(regexp_extract_all({col}, '[^A-Za-z0-9 ]')) AS INT)"
+    return {
+        "n_chars_txt": f"length({col})",
+        "punct_ratio": f"ROUND({n_punct} / CAST(length({col}) AS DOUBLE), 4)",
+        "stopword_ratio": f"ROUND({n_stop} / CAST({n_tok} AS DOUBLE), 4)",
+        "mean_word_len": (
+            f"ROUND((length({col}) - {n_tok} + 1) / CAST({n_tok} AS DOUBLE), 4)"
+        ),
+    }
+
+
+def fingerprint_expr(col: str, dialect: str, mod: int = 1_000_000_007) -> str:
+    """Polynomial rolling hash over the character stream (document
+    fingerprint): fp = fold(acc * 131 + codepoint) mod p. Portable: Spark
+    `aggregate`, DuckDB `list_reduce` with a prepended seed."""
+    if dialect == "spark":
+        return (
+            f"aggregate(transform(sequence(1, length({col})), "
+            f"i -> ascii(substring({col}, i, 1))), 0L, "
+            f"(acc, c) -> (acc * 131 + c) % {mod})"
+        )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length({col}) + 1), "
+        f"i -> CAST(ascii(substr({col}, CAST(i AS INT), 1)) AS BIGINT))), "
+        f"(a, b) -> (a * 131 + b) % {mod})"
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 def _registry():
     from lagespark import harness
     from lagespark import harness2  # noqa: F401  (registers wave-2 queries)
+    from lagespark import harness3  # noqa: F401  (registers wave-3 queries)
 
     return harness
 

@@ -44,41 +44,59 @@ def lonlat_to_xy(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarr
 # ---------------------------------------------------------------------------
 
 
-def image_points(n: int, seed: int = SEED) -> tuple[np.ndarray, np.ndarray]:
-    """The skewed point field only (no payloads) — cheap at bench scale."""
-    rng = np.random.default_rng(seed)
-    n_clustered = int(n * 0.8)
-    which = rng.integers(0, len(CLUSTERS), n_clustered)
-    cx = np.array([CLUSTERS[k][0] for k in which])
-    cy = np.array([CLUSTERS[k][1] for k in which])
+def points_for_indices(idx: np.ndarray, seed: int = SEED) -> tuple[np.ndarray, np.ndarray]:
+    """Skewed point field, PER-INDEX deterministic (counter-based Philox):
+    the same index yields the same point no matter how work is partitioned —
+    required for distributed generation in mapInPandas."""
+    idx = np.asarray(idx, dtype=np.int64)
+    n = len(idx)
     x = np.empty(n)
     y = np.empty(n)
-    x[:n_clustered] = np.clip(cx + rng.normal(0, 150, n_clustered), 0, DOMAIN)
-    y[:n_clustered] = np.clip(cy + rng.normal(0, 150, n_clustered), 0, DOMAIN)
-    x[n_clustered:] = rng.uniform(0, DOMAIN, n - n_clustered)
-    y[n_clustered:] = rng.uniform(0, DOMAIN, n - n_clustered)
+    for k, i in enumerate(idx):
+        r = np.random.Generator(np.random.Philox(key=seed + 1, counter=int(i)))
+        u = r.random(4)
+        if i % 5 < 4:  # 80% clustered (urban skew, BASELINE.json:14)
+            cx, cy = CLUSTERS[int(i) % len(CLUSTERS)]
+            # Box-Muller from the uniform draws (deterministic)
+            r1 = np.sqrt(-2 * np.log(1 - u[0]))
+            x[k] = np.clip(cx + 150.0 * r1 * np.cos(2 * np.pi * u[1]), 0, DOMAIN)
+            y[k] = np.clip(cy + 150.0 * r1 * np.sin(2 * np.pi * u[1]), 0, DOMAIN)
+        else:
+            x[k] = u[2] * DOMAIN
+            y[k] = u[3] * DOMAIN
     return x, y
 
 
-def images_pdf(n: int = 2_000, seed: int = SEED, with_payload: bool = True) -> pd.DataFrame:
-    """The graft input table (image_id, bytes, w, h, fmt, caption, phash,
-    x, y, lon, lat). with_payload=False skips pixel encoding (point-only
-    benchmarks)."""
-    x, y = image_points(n, seed)
+def image_points(n: int, seed: int = SEED) -> tuple[np.ndarray, np.ndarray]:
+    """The skewed point field only (no payloads) — cheap at bench scale."""
+    return points_for_indices(np.arange(n), seed)
+
+
+def images_pdf_for_indices(
+    idx: np.ndarray, seed: int = SEED, with_payload: bool = True
+) -> pd.DataFrame:
+    """Graft-input-table rows for the given indices — per-index deterministic
+    so it can generate distributed (one mapInPandas batch per index range).
+    Schema: BASELINE.json:15 (image_id, bytes, w, h, fmt, caption, phash)
+    + x/y/lon/lat."""
+    idx = np.asarray(idx, dtype=np.int64)
+    n = len(idx)
+    x, y = points_for_indices(idx, seed)
     lon, lat = xy_to_lonlat(x, y)
-    w = np.array([16, 32, 64], dtype=np.int32)[np.arange(n) % 3]
-    fmt = [FMTS[i % 4] for i in range(n)]
-    ids = [f"img{i:08d}" for i in range(n)]
+    w = np.array([16, 32, 64], dtype=np.int32)[idx % 3]
+    fmt = [FMTS[int(i) % 4] for i in idx]
+    ids = [f"img{i:08d}" for i in idx]
     captions = [
-        f"synthetic scene {i} near ({round(x[i])},{round(y[i])})" for i in range(n)
+        f"synthetic scene {i} near ({round(x[k])},{round(y[k])})"
+        for k, i in enumerate(idx)
     ]
     if with_payload:
         blobs = []
         phashes = np.empty(n, dtype=np.int64)
-        for i in range(n):
-            px = codecs.procedural_image(i, int(w[i]), int(w[i]))
-            blobs.append(codecs.encode_image(px, fmt[i]))
-            phashes[i] = codecs.phash64(px)
+        for k, i in enumerate(idx):
+            px = codecs.procedural_image(int(i), int(w[k]), int(w[k]))
+            blobs.append(codecs.encode_image(px, fmt[k]))
+            phashes[k] = codecs.phash64(px)
     else:
         blobs = [b""] * n
         phashes = np.zeros(n, dtype=np.int64)
@@ -97,6 +115,10 @@ def images_pdf(n: int = 2_000, seed: int = SEED, with_payload: bool = True) -> p
             "lat": lat,
         }
     )
+
+
+def images_pdf(n: int = 2_000, seed: int = SEED, with_payload: bool = True) -> pd.DataFrame:
+    return images_pdf_for_indices(np.arange(n), seed, with_payload)
 
 
 # ---------------------------------------------------------------------------

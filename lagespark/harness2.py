@@ -117,9 +117,9 @@ def q76(spark, sf):
     path; recall vs q75 is asserted in tests."""
     e = T(spark, sf, "embeddings")
     qs = e.filter(F.col("vec_id") % 25 == 0)
-    # 5 planes → 32 buckets: sized to the 500-vector harness table (pick
-    # planes ≈ log2(N / desired_bucket_size) at scale)
-    return similarity.lsh_topk(qs, e, k=5, planes=5)
+    # planes ≈ log2(N / desired_bucket_size); multi-table OR-amplification
+    # for recall (~0.65 vs exact q75 on this data — asserted in tests)
+    return similarity.lsh_topk(qs, e, k=5, planes=4, tables=6)
 
 
 # ===========================================================================

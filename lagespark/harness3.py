@@ -1,0 +1,132 @@
+"""Wave-3 query registry: area overlay / tiles / image payload / multimodal.
+
+These operators are pinned by pytest goldens + independent oracles
+(tests/test_overlay_golden.py, tests/test_image_pipeline.py) rather than SQL
+— their geometry/codec math is not SQL-expressible, so the driver records
+rows-only checks here while the real verification lives in the test suite.
+Aggregate invariants (counts, exact-roundtrip counts, PSNR floors) are still
+returned as query output so regressions surface in CORRECTNESS diffs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lagespark import fixtures
+from lagespark.harness import q
+from lagespark.operators import image_ops, overlay, tile
+from lagespark.operators.spatial import FeatureSet
+
+
+def _n_images(sf: str) -> int:
+    return 2000 if "0.1" not in sf else 20000
+
+
+@q("q58-geo-overlay-areas")  # golden-pinned in tests (not SQL-expressible)
+def q58(spark, sf):
+    """Full reference pipeline over AREAS: zone-band strips × compensatory
+    polygons × protected-area bonus → per-feature/zone area + score."""
+    gdf = spark.createDataFrame(fixtures.gruenflaeche_pdf())
+    pieces = overlay.zone_area_pieces(
+        gdf,
+        FeatureSet(fixtures.baufeld_pdf()),
+        FeatureSet(fixtures.biotope_pdf()),
+        resolution=4.0,
+    )
+    gf = FeatureSet(fixtures.gruenflaeche_pdf())
+    vals = spark.createDataFrame(
+        gf.attrs.reset_index()[["feature_id", "compensatory_value"]]
+    )
+    factors = spark.createDataFrame(fixtures.factors_pdf())
+    return overlay.score_areas(pieces, vals, factors)
+
+
+@q("q59-geo-tile")  # golden-pinned in tests
+def q59(spark, sf):
+    """Raster↔vector tile materialization: per-tile masks + popcounts."""
+    t = tile.rasterize_features(
+        spark, FeatureSet(fixtures.gruenflaeche_pdf()), 256.0, 16
+    )
+    return t.select("tile_id", "feature_id", "covered_cells")
+
+
+@q("q60-img-roundtrip")  # payload invariant (BASELINE.json:6,15)
+def q60(spark, sf):
+    """Per-fmt roundtrip: min PSNR (≥40 for lossy), exact count (== n for
+    lossless), max pHash hamming."""
+    image_ops.set_image_batching(spark)
+    imgs = image_ops.generate_images(spark, _n_images(sf))
+    chk = image_ops.roundtrip_check(imgs)
+    return chk.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("psnr").alias("min_psnr"),
+        F.sum(F.col("exact").cast("long")).alias("n_exact"),
+        F.max("phash_hamming").alias("max_phash_hamming"),
+    )
+
+
+@q("q61-img-decode-stats")
+def q61(spark, sf):
+    image_ops.set_image_batching(spark)
+    imgs = image_ops.generate_images(spark, _n_images(sf))
+    st = image_ops.decode_stats(imgs)
+    return st.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("mean_px"), 3).alias("avg_mean_px"),
+        F.min("min_px").alias("min_px"),
+        F.max("max_px").alias("max_px"),
+    )
+
+
+@q("q62-img-transcode")
+def q62(spark, sf):
+    """decode→encode(png) in one mapInPandas pass; caption must survive
+    byte-identically (caption-equality invariant)."""
+    image_ops.set_image_batching(spark)
+    imgs = image_ops.generate_images(spark, _n_images(sf))
+    out = image_ops.transcode(imgs, "png")
+    joined = imgs.select("image_id", F.col("caption").alias("cap_in")).join(
+        out.select("image_id", "caption", F.length("bytes").alias("png_bytes")),
+        "image_id",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("cap_in") == F.col("caption")).cast("long")).alias("n_caption_ok"),
+        F.sum("png_bytes").alias("total_png_bytes"),
+    )
+
+
+@q("q63-img-resize")
+def q63(spark, sf):
+    image_ops.set_image_batching(spark)
+    imgs = image_ops.generate_images(spark, _n_images(sf))
+    small = image_ops.resize_pool2(imgs)
+    return small.groupBy("w", "h").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length("bytes")).alias("total_bytes")
+    )
+
+
+@q("q64-multimodal-stub")
+def q64(spark, sf):
+    """Audio/video metadata plumbing with STUBBED codec (deterministic fake
+    features; NotImplementedError seam for real codecs — see image_ops)."""
+    av = image_ops.generate_av(spark, 1000)
+    feats = image_ops.decode_av_features(av)
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("sig_mean"), 3).alias("avg_sig_mean"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
+@q("q65-img-geo-join")
+def q65(spark, sf):
+    """Images × Lagefaktor zones: the graft join — geotagged image records
+    cell-indexed and zone-assigned (payload carried through untouched)."""
+    from lagespark.operators import spatial
+
+    imgs = image_ops.generate_images(spark, _n_images(sf))
+    zoned = spatial.with_zone(imgs, FeatureSet(fixtures.baufeld_pdf()))
+    return zoned.groupBy("zone", "fmt").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length("bytes")).alias("payload_bytes")
+    )

@@ -365,11 +365,25 @@ def zone_band_strips(
     strips = []
     # row-chunked to bound memory: (chunk*nx) points per distance pass
     chunk = max(1, int(2_000_000 / max(nx, 1)))
+    dmax = max(thresholds)
+    bboxes = [ring_bbox(rings[0]) for rings in polys]
     for y0 in range(0, ny, chunk):
         rows = np.arange(y0, min(y0 + chunk, ny))
         cy = ymin + (rows + 0.5) * resolution
         gx, gy = np.meshgrid(cx, cy)
-        d = min_dist_to_polygons(gx.ravel(), gy.ravel(), polys).reshape(len(rows), nx)
+        fx = gx.ravel()
+        fy = gy.ravel()
+        # cheap bbox-distance prefilter: cells provably beyond the widest
+        # band for EVERY polygon skip the exact segment-distance pass
+        near = np.zeros(fx.shape, dtype=bool)
+        for bx0, by0, bx1, by1 in bboxes:
+            ddx = np.maximum(np.maximum(bx0 - fx, fx - bx1), 0.0)
+            ddy = np.maximum(np.maximum(by0 - fy, fy - by1), 0.0)
+            near |= (ddx * ddx + ddy * ddy) < dmax * dmax
+        d = np.full(fx.shape, np.inf)
+        if near.any():
+            d[near] = min_dist_to_polygons(fx[near], fy[near], polys)
+        d = d.reshape(len(rows), nx)
         zone = np.full(d.shape, len(thresholds), dtype=np.int32)
         for z in range(len(thresholds) - 1, -1, -1):
             zone = np.where(d < thresholds[z], z, zone)

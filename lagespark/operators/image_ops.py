@@ -1,0 +1,248 @@
+"""Image-payload operators (SURVEY.md §2.4, axis B).
+
+The image table rides as opaque BinaryType + typed metadata; pixels exist
+only inside Arrow batches on executors (never driver-side objects). All ops
+use mapInPandas so decode→transform→encode chains run in ONE Python pass per
+batch instead of three UDF crossings (SURVEY.md §4 'pipelining').
+
+Arrow batch sizing: callers lower spark.sql.execution.arrow.maxRecordsPerBatch
+(IMG_BATCH) before running payload stages — UDF memory is not spill-managed.
+
+Multimodal stubs: audio/video decode is NOT implementable in this container
+(no codec libs — SURVEY.md §0); decode_av_features keeps the Spark-side
+plumbing real (schema, batching, metadata) with a clearly-marked
+deterministic fake for the codec step.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lagespark import fixtures
+from lagespark.image import codecs
+
+IMG_BATCH = 1024
+
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, "
+    "phash long, x double, y double, lon double, lat double"
+)
+
+
+def set_image_batching(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(IMG_BATCH))
+
+
+def generate_images(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
+    """Distributed deterministic generation of the graft input table:
+    mapInPandas over spark.range — each executor builds its own index range
+    (per-index Philox, partitioning-independent)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield fixtures.images_pdf_for_indices(pdf["id"].to_numpy())
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, IMAGES_SCHEMA)
+
+
+def decode_stats(images: DataFrame) -> DataFrame:
+    """Decode every payload → per-image pixel stats (mean/min/max) without
+    the pixels ever leaving the executor batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            means = np.empty(len(pdf))
+            mins = np.empty(len(pdf), dtype=np.int32)
+            maxs = np.empty(len(pdf), dtype=np.int32)
+            for k, r in enumerate(pdf.itertuples()):
+                px = codecs.decode_image(r.bytes, r.fmt, r.w, r.h)
+                means[k] = float(px.mean())
+                mins[k] = int(px.min())
+                maxs[k] = int(px.max())
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "fmt": pdf["fmt"],
+                    "mean_px": np.round(means, 4),
+                    "min_px": mins,
+                    "max_px": maxs,
+                }
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, "image_id string, fmt string, mean_px double, min_px int, max_px int"
+    )
+
+
+def roundtrip_check(images: DataFrame) -> DataFrame:
+    """The per-row payload invariant (BASELINE.json:6,15): decode → verify
+    PSNR vs the reference pixels (procedural regeneration) and pHash vs the
+    carried column. Lossless formats must be exact."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                i = int(r.image_id.replace("img", ""))
+                ref = codecs.procedural_image(i, r.w, r.h)
+                px = codecs.decode_image(r.bytes, r.fmt, r.w, r.h)
+                p = codecs.psnr(ref, px)
+                ph = codecs.phash64(px)
+                ham = bin((ph ^ r.phash) & (2**64 - 1)).count("1")
+                rows.append(
+                    (
+                        r.image_id,
+                        r.fmt,
+                        round(min(p, 99.0), 2),
+                        bool((px == ref).all()),
+                        ham,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "fmt", "psnr", "exact", "phash_hamming"]
+            )
+
+    return images.mapInPandas(
+        run, "image_id string, fmt string, psnr double, exact boolean, phash_hamming int"
+    )
+
+
+def transcode(images: DataFrame, to_fmt: str = "png") -> DataFrame:
+    """decode→encode in one Python pass (single mapInPandas stage)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                px = codecs.decode_image(r.bytes, r.fmt, r.w, r.h)
+                out.append(codecs.encode_image(px, to_fmt))
+            res = pdf[["image_id", "w", "h", "caption", "phash", "x", "y"]].copy()
+            res["fmt"] = to_fmt
+            res["bytes"] = out
+            yield res[
+                ["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "x", "y"]
+            ]
+
+    return images.mapInPandas(
+        run,
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, "
+        "phash long, x double, y double",
+    )
+
+
+def resize_pool2(images: DataFrame) -> DataFrame:
+    """2×2 average-pool downscale (the 'resize' of the multimodal op set),
+    re-encoded as raw. Vectorized per image; one Python pass."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, ws, hs = [], [], []
+            for r in pdf.itertuples():
+                px = codecs.decode_image(r.bytes, r.fmt, r.w, r.h).astype(np.uint16)
+                h2, w2 = (r.h // 2) * 2, (r.w // 2) * 2
+                px = px[:h2, :w2]
+                small = (
+                    px.reshape(h2 // 2, 2, w2 // 2, 2, 3).mean(axis=(1, 3))
+                ).astype(np.uint8)
+                blobs.append(small.tobytes())
+                ws.append(w2 // 2)
+                hs.append(h2 // 2)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "bytes": blobs,
+                    "w": pd.array(ws, dtype="int32"),
+                    "h": pd.array(hs, dtype="int32"),
+                    "fmt": "raw",
+                }
+            )
+
+    return images.mapInPandas(
+        run, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal stubs (audio/video) — plumbing real, codec faked
+# ---------------------------------------------------------------------------
+
+
+def decode_av_features(av: DataFrame, real_codecs: bool = False) -> DataFrame:
+    """Audio/video feature extraction over opaque binary + typed metadata.
+
+    STUB: no audio/video codec libraries exist in this container. With
+    real_codecs=True this raises NotImplementedError (the marked seam where
+    ffmpeg/soundfile would slot in); the default path computes DETERMINISTIC
+    FAKE features (byte-stream stats standing in for decoded samples) so the
+    Spark-side schema/partitioning/batch shape is real and tested."""
+    if real_codecs:
+        raise NotImplementedError(
+            "audio/video codecs unavailable in this environment; "
+            "plug ffmpeg/soundfile here on a real cluster"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                buf = np.frombuffer(r.payload, dtype=np.uint8)
+                # deterministic fake "decoded-signal" features
+                rows.append(
+                    (
+                        r.media_id,
+                        r.media_type,
+                        len(buf),
+                        round(float(buf.mean()) if len(buf) else 0.0, 4),
+                        round(float(buf.std()) if len(buf) else 0.0, 4),
+                        int(r.duration_ms),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "media_type",
+                    "n_bytes",
+                    "sig_mean",
+                    "sig_std",
+                    "duration_ms",
+                ],
+            )
+
+    return av.mapInPandas(
+        run,
+        "media_id string, media_type string, n_bytes long, sig_mean double, "
+        "sig_std double, duration_ms long",
+    )
+
+
+def generate_av(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
+    """Deterministic fake audio/video table (opaque payload + metadata)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                r = np.random.Generator(np.random.Philox(key=7, counter=i))
+                nb = 256 + (i % 7) * 128
+                rows.append(
+                    (
+                        f"med{i:06d}",
+                        "audio" if i % 2 == 0 else "video",
+                        r.integers(0, 256, nb, dtype=np.uint8).tobytes(),
+                        1000 + (i % 60) * 500,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "payload", "duration_ms"]
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(
+        gen, "media_id string, media_type string, payload binary, duration_ms long"
+    )

@@ -132,33 +132,48 @@ def lsh_topk(
     targets: DataFrame,
     k: int = 5,
     planes: int = 12,
+    tables: int = 4,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane sign sketch → bucket equi-join →
-    exact cosine refine + window rank. Deterministic (seeded planes).
-    The bucket join is the 100 TB path: both sides shuffle on the sketch."""
+    """Approximate top-k: random-hyperplane sign sketches → bucket equi-join
+    → exact cosine refine + window rank. Deterministic (seeded planes).
+    OR-amplified across `tables` independent sketch tables (each row explodes
+    to `tables` bucket keys; candidates dedup before refine) — the standard
+    recall lever for sign-LSH. The bucket join is the 100 TB path: both
+    sides shuffle on (table, sketch)."""
     rng = np.random.default_rng(seed)
-    pl = rng.normal(size=(planes, dim))
+    pl = rng.normal(size=(tables, planes, dim))
 
-    @F.pandas_udf(LongType())
-    def sketch(v: pd.Series) -> pd.Series:
+    out_t = ArrayType(LongType())
+
+    @F.pandas_udf(out_t)
+    def sketches(v: pd.Series) -> pd.Series:
         m = np.stack(v.to_numpy()).astype(np.float64)
-        signs = (m @ pl.T) > 0  # (B, planes)
-        val = np.zeros(len(m), dtype=np.int64)
-        for j in range(planes):
-            val |= signs[:, j].astype(np.int64) << j
-        return pd.Series(val)
+        keys = []
+        for t in range(tables):
+            signs = (m @ pl[t].T) > 0  # (B, planes)
+            val = np.full(len(m), t << 60, dtype=np.int64)
+            for j in range(planes):
+                val |= signs[:, j].astype(np.int64) << j
+            keys.append(val)
+        return pd.Series(np.stack(keys, axis=1).tolist())
 
-    q = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-    ).withColumn("bucket", sketch(F.col("qv")))
-    t = targets.select(
-        F.col(id_col).alias("nn_id"), F.col(vec_col).alias("tv")
-    ).withColumn("bucket", sketch(F.col("tv")))
-    cand = q.join(t, "bucket").filter(F.col("qid") != F.col("nn_id"))
+    q = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .withColumn("bucket", F.explode(sketches(F.col("qv"))))
+    )
+    t = (
+        targets.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("tv"))
+        .withColumn("bucket", F.explode(sketches(F.col("tv"))))
+    )
+    cand = (
+        q.join(t, "bucket")
+        .filter(F.col("qid") != F.col("nn_id"))
+        .dropDuplicates(["qid", "nn_id"])
+    )
 
     @F.pandas_udf(DoubleType())
     def cos(a: pd.Series, b: pd.Series) -> pd.Series:

@@ -1,0 +1,81 @@
+"""Spark-side image payload tests: the BASELINE.json:6,15 per-row invariant
+(decoded-pixel allclose / PSNR ≥ 40 dB for lossy + caption equality + pHash)
+through the REAL distributed path (mapInPandas over generated table)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lagespark.operators import image_ops
+
+N = 240  # covers all fmt×size combinations many times over
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    image_ops.set_image_batching(spark)
+    return image_ops.generate_images(spark, N, partitions=4).cache()
+
+
+def test_generation_deterministic_across_partitionings(spark):
+    a = image_ops.generate_images(spark, 60, partitions=2).toPandas()
+    b = image_ops.generate_images(spark, 60, partitions=7).toPandas()
+    a = a.sort_values("image_id").reset_index(drop=True)
+    b = b.sort_values("image_id").reset_index(drop=True)
+    assert (a["bytes"] == b["bytes"]).all()
+    assert (a["x"] == b["x"]).all()
+
+
+def test_per_row_invariant(images):
+    chk = image_ops.roundtrip_check(images).toPandas()
+    assert len(chk) == N
+    lossy = chk[chk.fmt == "qdct"]
+    lossless = chk[chk.fmt != "qdct"]
+    assert (lossless.exact).all(), "lossless formats must decode exactly"
+    assert (lossy.psnr >= 40.0).all(), "lossy PSNR >= 40 dB invariant"
+    assert (chk.phash_hamming <= 2).all()
+
+
+def test_transcode_preserves_pixels_and_captions(spark, images):
+    out = image_ops.transcode(images, "png")
+    chk = image_ops.roundtrip_check(out).toPandas()
+    # png re-encode of qdct-decoded pixels: exact vs the DECODED pixels is
+    # not checkable here, but PSNR vs the procedural reference still holds
+    assert (chk.psnr >= 40.0).all()
+    assert (chk[chk.fmt == "png"].fmt == "png").all()
+    caps = (
+        images.select("image_id", F.col("caption").alias("a"))
+        .join(out.select("image_id", F.col("caption").alias("b")), "image_id")
+        .toPandas()
+    )
+    assert (caps.a == caps.b).all()
+
+
+def test_resize_shapes(images):
+    small = image_ops.resize_pool2(images).toPandas()
+    assert ((small.w.isin([8, 16, 32])) & (small.h == small.w)).all()
+    assert (small["bytes"].str.len() == small.w * small.h * 3).all()
+
+
+def test_multimodal_stub(spark):
+    av = image_ops.generate_av(spark, 100)
+    feats = image_ops.decode_av_features(av).toPandas()
+    assert len(feats) == 100
+    assert set(feats.media_type) == {"audio", "video"}
+    with pytest.raises(NotImplementedError):
+        image_ops.decode_av_features(av, real_codecs=True)
+
+
+def test_ann_lsh_recall(spark):
+    """LSH top-k recall vs exact brute force (approximate scale path)."""
+    from lagespark.operators import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = e.filter(F.col("vec_id") % 25 == 0)
+    exact = similarity.cosine_topk(qs, e, k=5).toPandas()
+    approx = similarity.lsh_topk(qs, e, k=5, planes=3, tables=4).toPandas()
+    ex = {(r.qid, r.nn_id) for r in exact.itertuples()}
+    ap = {(r.qid, r.nn_id) for r in approx.itertuples()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} below multi-table floor"

@@ -19,6 +19,7 @@ def _registry():
     from lagespark import harness
     from lagespark import harness2  # noqa: F401  (registers wave-2 queries)
     from lagespark import harness3  # noqa: F401  (registers wave-3 queries)
+    from lagespark import harness4  # noqa: F401  (registers wave-4 queries)
 
     return harness
 

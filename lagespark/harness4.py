@@ -1,0 +1,63 @@
+"""Wave-4 query registry: streaming operators in batch mode (the
+batch-equivalence half of SURVEY.md §5 item 6; streaming execution itself is
+exercised in tests/test_streaming.py with real readStream/availableNow)."""
+
+from __future__ import annotations
+
+from lagespark import oracles
+from lagespark.harness import T, q
+from lagespark.streaming import ops
+
+
+@q(
+    "q90-stream-tumble",
+    "SELECT CAST(epoch_us(time_bucket(INTERVAL 10 MINUTES, ts)) AS BIGINT) "
+    "AS win_start_us, COUNT(*) AS n, ROUND(SUM(value), 2) AS total "
+    "FROM events GROUP BY win_start_us",
+)
+def q90(spark, sf):
+    return ops.tumbling_counts(T(spark, sf, "events"))
+
+
+@q(
+    "q91-stream-slide",
+    # sliding windows = union of the two phase-shifted tumbling bucketings
+    "WITH b AS (SELECT CAST(epoch_us(time_bucket(INTERVAL 10 MINUTES, ts)) AS BIGINT)"
+    " AS s FROM events UNION ALL "
+    "SELECT CAST(epoch_us(time_bucket(INTERVAL 10 MINUTES, ts - INTERVAL 5 MINUTES)) "
+    "AS BIGINT) + 300000000 AS s FROM events) "
+    "SELECT s AS win_start_us, COUNT(*) AS n FROM b GROUP BY s",
+)
+def q91(spark, sf):
+    return ops.sliding_counts(T(spark, sf, "events"))
+
+
+@q(
+    "q92-stream-session",
+    # gaps-and-islands session reconstruction (5-minute gap)
+    "WITH o AS (SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER "
+    "(PARTITION BY user_id ORDER BY ts) > INTERVAL 5 MINUTES OR LAG(ts) OVER "
+    "(PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS brk "
+    "FROM events), s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id "
+    "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM o) "
+    "SELECT user_id, CAST(epoch_us(MIN(ts)) AS BIGINT) AS sess_start_us, "
+    "COUNT(*) AS n FROM s GROUP BY user_id, sess",
+)
+def q92(spark, sf):
+    return ops.session_counts(T(spark, sf, "events"))
+
+
+@q(
+    "q93-stream-geo",
+    "SELECT zone, event_type, COUNT(*) AS n FROM (SELECT event_type, "
+    + oracles.zone_case_sql(
+        "((event_id * 9973) % 100000) / 10.0 + 0.05",
+        "((event_id * 7919) % 100000) / 10.0 + 0.05",
+    )
+    + " AS zone FROM events) GROUP BY zone, event_type",
+)
+def q93(spark, sf):
+    from pyspark.sql import functions as F
+
+    z = ops.zone_of_events(T(spark, sf, "events"))
+    return z.groupBy("zone", "event_type").agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,127 @@
+"""Streaming operators (SURVEY.md §2.9) over the events shape
+(event_id, ts, user_id, event_type, value, props).
+
+Every transformation below takes a DataFrame that may be BATCH or STREAMING —
+the same code path powers both: batch mode gives DuckDB-oracle checkable
+results (harness q90-q93), streaming mode runs under availableNow triggers in
+tests (file source → memory sink) with watermarks exercised by multi-batch
+writes. That batch/stream unification is exactly Structured Streaming's
+contract, so "streaming correctness" reduces to batch equivalence plus the
+stateful semantics tested in tests/test_streaming.py (late-data drop, dedup,
+custom state)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    return (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+    )
+
+
+# -- window aggregations (s01-s03): batch/stream shared ----------------------
+
+
+def tumbling_counts(events: DataFrame, width: str = "10 minutes") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.unix_micros(F.col("win.start").cast("timestamp")).alias("win_start_us"), "n", "total"
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros(F.col("win.start").cast("timestamp")).alias("win_start_us"), "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("win.start").cast("timestamp")).alias("sess_start_us"),
+            "n",
+        )
+    )
+
+
+# -- stateful stream-only operators (s04, s05, s07) ---------------------------
+
+
+def tumbling_with_watermark(events: DataFrame, width="10 minutes", late="10 minutes"):
+    # watermarks require TIMESTAMP (not NTZ); session tz is UTC so the cast
+    # is wall-time-identity
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", late)
+        .groupBy(F.window("ts", width).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros(F.col("win.start").cast("timestamp")).alias("win_start_us"), "n")
+    )
+
+
+def dedup_within_watermark(events: DataFrame, late: str = "10 minutes") -> DataFrame:
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events.withWatermark("ts", late).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful per-user running aggregate via applyInPandasWithState
+    (s07): state = (n, total) per user, emitted per micro-batch."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "total": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id bigint, n bigint, total double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# -- stream-static spatial join (s06) -----------------------------------------
+
+
+def zone_of_events(events: DataFrame) -> DataFrame:
+    """Stream-static join shape: events get a synthetic location (from keys,
+    same derivation as the geo harness) and a Lagefaktor zone from the
+    broadcast static feature set."""
+    from lagespark import fixtures
+    from lagespark.operators import spatial
+
+    pts = events.withColumn(
+        "x", F.expr("((event_id * 9973) % 100000) / 10.0 + 0.05")
+    ).withColumn("y", F.expr("((event_id * 7919) % 100000) / 10.0 + 0.05"))
+    bf = spatial.FeatureSet(fixtures.baufeld_pdf())
+    return spatial.with_zone(pts, bf).select("event_id", "event_type", "zone", "value")

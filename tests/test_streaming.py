@@ -1,0 +1,193 @@
+"""Structured Streaming tests (SURVEY.md §2.9 / §5 item 6): real
+readStream file source → memory sink under availableNow/processAllAvailable;
+batch-equivalence for windows, late-data drop for watermarks, stateful dedup
+and custom state."""
+
+from __future__ import annotations
+
+import shutil
+import time
+import uuid
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lagespark.streaming import ops
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tmpdir(tmp_path):
+    return str(tmp_path)
+
+
+def _start(q_df, name, mode="complete"):
+    return (
+        q_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _events_src(spark, tmpdir) -> str:
+    src = f"{tmpdir}/events_src"
+    spark.read.parquet(f"{SF}/events.parquet").coalesce(2).write.parquet(src)
+    return src
+
+
+def test_tumbling_batch_equivalence(spark, tmpdir):
+    src = _events_src(spark, tmpdir)
+    stream = ops.read_events_stream(spark, src)
+    name = "t" + uuid.uuid4().hex[:8]
+    q = _start(ops.tumbling_counts(stream), name)
+    q.awaitTermination(120)
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    want = ops.tumbling_counts(spark.read.parquet(src)).toPandas()
+    g = got.sort_values("win_start_us").reset_index(drop=True)
+    w = want.sort_values("win_start_us").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_session_batch_equivalence(spark, tmpdir):
+    src = _events_src(spark, tmpdir)
+    stream = ops.read_events_stream(spark, src)
+    name = "s" + uuid.uuid4().hex[:8]
+    q = _start(ops.session_counts(stream), name)
+    q.awaitTermination(120)
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    want = ops.session_counts(spark.read.parquet(src)).toPandas()
+    assert len(got) == len(want)
+    assert got.n.sum() == want.n.sum()
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+    ).selectExpr(
+        "CAST(event_id AS BIGINT) event_id",
+        "CAST(ts AS TIMESTAMP_NTZ) ts",
+        "CAST(user_id AS BIGINT) user_id",
+        "event_type",
+        "CAST(value AS DOUBLE) value",
+        "props",
+    )
+
+
+def test_watermark_drops_late_rows(spark, tmpdir):
+    """s04: a row arriving behind the watermark is dropped from the agg."""
+    src = f"{tmpdir}/wm_src"
+    ck = f"{tmpdir}/wm_ck"
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    batch1 = [
+        (1, t0, 1, "a", 1.0, "{}"),
+        (2, t0 + pd.Timedelta(minutes=45), 1, "a", 1.0, "{}"),  # advances wm to :35
+    ]
+    _mk_events(spark, batch1).write.parquet(src, mode="overwrite")
+    stream = ops.read_events_stream(spark, src)
+    agg = ops.tumbling_with_watermark(stream, "10 minutes", "10 minutes")
+    name = "w" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a late row (00:05, behind watermark 00:35) + a fresh row
+        batch2 = [
+            (3, t0 + pd.Timedelta(minutes=5), 1, "a", 1.0, "{}"),  # LATE → dropped
+            (4, t0 + pd.Timedelta(minutes=50), 1, "a", 1.0, "{}"),
+        ]
+        _mk_events(spark, batch2).write.parquet(src, mode="append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    t0us = int(t0.value // 1000)
+    w0 = got[got.win_start_us == t0us]
+    # the 00:00-00:10 window closed with exactly ONE row (event_id=1); the
+    # late event_id=3 must not have re-opened or incremented it
+    assert len(w0) == 1 and int(w0.n.iloc[0]) == 1, got.to_string()
+
+
+def test_dedup_within_watermark(spark, tmpdir):
+    src = f"{tmpdir}/dd_src"
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        (1, t0, 1, "a", 1.0, "{}"),
+        (1, t0 + pd.Timedelta(seconds=30), 1, "a", 1.0, "{}"),  # dup id
+        (2, t0 + pd.Timedelta(minutes=1), 1, "a", 1.0, "{}"),
+    ]
+    _mk_events(spark, rows).write.parquet(src, mode="overwrite")
+    stream = ops.read_events_stream(spark, src)
+    name = "d" + uuid.uuid4().hex[:8]
+    q = (
+        ops.dedup_within_watermark(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/dd_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(f"SELECT event_id FROM {name}").toPandas()
+    assert sorted(got.event_id.tolist()) == [1, 2]
+
+
+def test_stateful_running_totals(spark, tmpdir):
+    src = f"{tmpdir}/st_src"
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        (1, t0, 7, "a", 2.0, "{}"),
+        (2, t0 + pd.Timedelta(minutes=1), 7, "a", 3.0, "{}"),
+        (3, t0 + pd.Timedelta(minutes=2), 9, "a", 5.0, "{}"),
+    ]
+    _mk_events(spark, rows).write.parquet(src, mode="overwrite")
+    stream = ops.read_events_stream(spark, src)
+    name = "u" + uuid.uuid4().hex[:8]
+    q = (
+        ops.running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/st_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql(f"SELECT * FROM {name}")
+        .toPandas()
+        .sort_values(["user_id", "n"])
+        .groupby("user_id")
+        .last()
+    )
+    assert got.loc[7, "total"] == pytest.approx(5.0)
+    assert got.loc[9, "total"] == pytest.approx(5.0)
+
+
+def test_stream_static_geo_join(spark, tmpdir):
+    src = _events_src(spark, tmpdir)
+    stream = ops.read_events_stream(spark, src)
+    zoned = ops.zone_of_events(stream)
+    name = "g" + uuid.uuid4().hex[:8]
+    q = (
+        zoned.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(f"SELECT COUNT(*) AS n FROM {name}").toPandas()
+    want = spark.read.parquet(src).count()
+    assert int(got.n[0]) == want

@@ -1,0 +1,132 @@
+"""Checkpoint/resume tests (SURVEY.md §5 item 5): run the pipeline, simulate
+a mid-run kill (drop stage-2 partitions + manifest), resume, and assert the
+final output is identical with untouched partitions not rewritten."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+from lagespark.pipeline import cli, manifest
+
+N = 400
+
+
+def _args(out, resume=False):
+    return cli.build_parser().parse_args(
+        ["--out", out, "--n-images", str(N), "--partitions", "4", "--master", "local[4]"]
+        + (["--resume"] if resume else [])
+    )
+
+
+@pytest.fixture(scope="module")
+def fresh_run(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipe_fresh"))
+    mans = cli.run(_args(out))
+    return out, mans
+
+
+def test_manifests_complete_with_metrics(fresh_run):
+    out, mans = fresh_run
+    for stage, m in mans.items():
+        assert m["complete"], stage
+        assert m["partitions"], stage
+        total_rows = sum(p["rows"] for p in m["partitions"].values())
+        assert total_rows > 0
+        assert all(p["bytes"] > 0 for p in m["partitions"].values())
+    assert mans["images"]["observed_rows"] == N
+    # lineage chain
+    assert mans["zones"]["inputs"] == [mans["images"]["manifest_id"]]
+    assert mans["scores"]["inputs"] == [mans["zones"]["manifest_id"]]
+
+
+def test_rerun_skips_completed_stages(spark, fresh_run):
+    out, mans = fresh_run
+    mans2 = cli.run(_args(out, resume=True))
+    # manifests unchanged → stages skipped, ids stable
+    for s in mans:
+        assert mans2[s]["manifest_id"] == mans[s]["manifest_id"], s
+
+
+def test_kill_and_resume_recomputes_only_missing(spark, fresh_run, tmp_path):
+    out, _ = fresh_run
+    victim = str(tmp_path / "pipe_victim")
+    shutil.copytree(out, victim)
+    zdir = os.path.join(victim, "zones")
+    # simulate a kill mid-stage-2: one partition missing, manifest not committed
+    parts = sorted(p for p in os.listdir(zdir) if p.startswith("zone="))
+    assert len(parts) >= 2
+    shutil.rmtree(os.path.join(zdir, parts[0]))
+    os.remove(os.path.join(zdir, "_lagespark_manifest.json"))
+    # also drop downstream stage (it depends on stage 2)
+    shutil.rmtree(os.path.join(victim, "scores"))
+
+    kept = os.path.join(zdir, parts[1])
+    kept_mtimes = {
+        f: os.path.getmtime(os.path.join(kept, f)) for f in os.listdir(kept)
+    }
+
+    mans = cli.run(_args(victim, resume=True))
+    m2 = mans["zones"]
+    assert m2["complete"]
+    assert sorted(m2["resumed_partitions_kept"]) == sorted(
+        p.split("=", 1)[1] for p in parts[1:]
+    )
+    # untouched partition files were NOT rewritten
+    for f, t in kept_mtimes.items():
+        assert os.path.getmtime(os.path.join(kept, f)) == t, f
+
+    # final outputs identical to the fresh run
+    a = spark.read.parquet(os.path.join(out, "zones")).toPandas()
+    b = spark.read.parquet(os.path.join(victim, "zones")).toPandas()
+    a = a.sort_values("image_id").reset_index(drop=True)
+    b = b.sort_values("image_id").reset_index(drop=True)
+    assert (a["image_id"] == b["image_id"]).all()
+    assert (a["zone"] == b["zone"]).all()
+    assert (a["bytes"] == b["bytes"]).all()
+
+
+def test_spark_submit_pyfiles(tmp_path):
+    """The BASELINE.json:14 launch mode: spark-submit --py-files zip runs the
+    CLI end-to-end from OUTSIDE the repo directory."""
+    from tools.make_pyfiles_zip import build
+
+    zip_path = str(tmp_path / "lagespark.zip")
+    build(zip_path)
+    out = str(tmp_path / "pipe_submit")
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(os.path.dirname(sys.executable)), "bin", "spark-submit"
+    )
+    import pyspark
+
+    spark_submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    cmd = [
+        spark_submit,
+        "--master",
+        "local[2]",
+        "--py-files",
+        zip_path,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "lagespark", "pipeline", "cli.py"),
+        "--out",
+        out,
+        "--n-images",
+        "120",
+        "--partitions",
+        "2",
+        "--master",
+        "local[2]",
+    ]
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    res = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=420, cwd=str(tmp_path), env=env
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    man = manifest.read_manifest(os.path.join(out, "scores"))
+    assert man and man["complete"]

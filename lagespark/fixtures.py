@@ -44,26 +44,45 @@ def lonlat_to_xy(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarr
 # ---------------------------------------------------------------------------
 
 
+def _splitmix64(v: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (uint64 → uint64), the standard
+    counter-based hash: per-index deterministic, partitioning-independent."""
+    v = v.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        v = (v + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        v ^= v >> np.uint64(30)
+        v = (v * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        v ^= v >> np.uint64(27)
+        v = (v * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        v ^= v >> np.uint64(31)
+    return v
+
+
+def _hash_uniform(idx: np.ndarray, stream: int, seed: int) -> np.ndarray:
+    """Uniform [0,1) per (index, stream), fully vectorized."""
+    h = _splitmix64(idx.astype(np.uint64) * np.uint64(1_000_003) + np.uint64(seed * 7919 + stream))
+    return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
 def points_for_indices(idx: np.ndarray, seed: int = SEED) -> tuple[np.ndarray, np.ndarray]:
-    """Skewed point field, PER-INDEX deterministic (counter-based Philox):
-    the same index yields the same point no matter how work is partitioned —
-    required for distributed generation in mapInPandas."""
+    """Skewed point field, PER-INDEX deterministic (counter-based splitmix64
+    hashing): the same index yields the same point no matter how work is
+    partitioned — required for distributed generation in mapInPandas, and
+    vectorized so multi-million-row bench inputs generate at memory speed."""
     idx = np.asarray(idx, dtype=np.int64)
-    n = len(idx)
-    x = np.empty(n)
-    y = np.empty(n)
-    for k, i in enumerate(idx):
-        r = np.random.Generator(np.random.Philox(key=seed + 1, counter=int(i)))
-        u = r.random(4)
-        if i % 5 < 4:  # 80% clustered (urban skew, BASELINE.json:14)
-            cx, cy = CLUSTERS[int(i) % len(CLUSTERS)]
-            # Box-Muller from the uniform draws (deterministic)
-            r1 = np.sqrt(-2 * np.log(1 - u[0]))
-            x[k] = np.clip(cx + 150.0 * r1 * np.cos(2 * np.pi * u[1]), 0, DOMAIN)
-            y[k] = np.clip(cy + 150.0 * r1 * np.sin(2 * np.pi * u[1]), 0, DOMAIN)
-        else:
-            x[k] = u[2] * DOMAIN
-            y[k] = u[3] * DOMAIN
+    u0 = _hash_uniform(idx, 0, seed)
+    u1 = _hash_uniform(idx, 1, seed)
+    u2 = _hash_uniform(idx, 2, seed)
+    u3 = _hash_uniform(idx, 3, seed)
+    clustered = (idx % 5) < 4  # 80% urban skew (BASELINE.json:14)
+    ck = (idx % len(CLUSTERS)).astype(np.int64)
+    cx = np.array([c[0] for c in CLUSTERS])[ck]
+    cy = np.array([c[1] for c in CLUSTERS])[ck]
+    r1 = np.sqrt(-2 * np.log(1 - u0))  # Box–Muller
+    gx = np.clip(cx + 150.0 * r1 * np.cos(2 * np.pi * u1), 0, DOMAIN)
+    gy = np.clip(cy + 150.0 * r1 * np.sin(2 * np.pi * u1), 0, DOMAIN)
+    x = np.where(clustered, gx, u2 * DOMAIN)
+    y = np.where(clustered, gy, u3 * DOMAIN)
     return x, y
 
 

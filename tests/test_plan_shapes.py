@@ -1,0 +1,87 @@
+"""Plan-shape tests (SURVEY.md §5 item 7): the optimizations the engine
+relies on at 100 TB must be VISIBLE in the physical plan — predicate pushdown
+to parquet, column pruning, broadcast joins on the spatial dims, partition
+pruning on checkpointed stages."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    from lagespark import harness
+
+    p = plan_of(harness.QUERIES["q02-filter"](spark, SF))
+    assert "PushedFilters" in p
+    assert "l_quantity" in p.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_column_pruning_on_flagship(spark):
+    from lagespark import harness
+
+    p = plan_of(harness.QUERIES["q55-geo-score"](spark, SF))
+    # the scan must read ONLY the 4 key columns the point synthesis needs
+    read = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read and "l_partkey" in read
+    assert "l_extendedprice" not in read and "l_shipdate" not in read
+
+
+def test_spatial_join_is_broadcast(spark):
+    from lagespark import harness
+
+    p = plan_of(harness.QUERIES["q51-geo-pip"](spark, SF))
+    assert "BroadcastHashJoin" in p, "cover join must broadcast, not shuffle"
+    assert "ArrowEvalPython" in p, "exact PIP must run as Arrow-batched UDF"
+    assert "SortMergeJoin" not in p
+
+
+def test_relational_broadcast_hint(spark):
+    from lagespark import harness
+
+    p = plan_of(harness.QUERIES["q14-join-bcast"](spark, SF))
+    assert "BroadcastHashJoin" in p
+
+
+def test_partition_pruning_on_checkpoint(spark, tmp_path):
+    """Checkpointed stage layout must prune partitions on read — the
+    mechanism both resume and spatial range queries rely on."""
+    from pyspark.sql import functions as F
+
+    from lagespark.operators import image_ops, spatial
+
+    out = str(tmp_path / "imgs")
+    imgs = image_ops.generate_images(spark, 200, 4)
+    imgs = spatial.with_grid_cell(imgs)
+    imgs = imgs.withColumn(
+        "cell_prefix", F.pmod(F.floor(F.col("x") / 1000.0), 16).cast("int")
+    )
+    imgs.write.partitionBy("cell_prefix").parquet(out)
+    pruned = spark.read.parquet(out).filter(F.col("cell_prefix") == 3)
+    p = plan_of(pruned)
+    assert "PartitionFilters" in p
+    seg = p.split("PartitionFilters")[1].splitlines()[0]
+    assert "cell_prefix" in seg
+
+
+def test_whole_stage_codegen_on_native_path(spark):
+    """The native cell-id path (q50) must stay inside whole-stage codegen —
+    no Python in the hot loop."""
+    from lagespark import harness
+
+    df = harness.QUERIES["q50-geo-cell"](spark, SF)
+    p = plan_of(df, "simple")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    c = plan_of(df, "codegen")
+    assert "WholeStageCodegen" in c

@@ -74,6 +74,84 @@ def q02(spark, sf):
     )
 
 
+@q(
+    "q03-bbox-filter",
+    "SELECT pid, x, y FROM (" + oracles.POINTS_SELECT + ") "
+    "WHERE x >= 2000.0 AND x <= 3300.0 AND y >= 1400.0 AND y <= 3100.0",
+)
+def q03(spark, sf):
+    """Spatial bbox prefilter on plain columns — Catalyst-native, pushable
+    (geo q03; the cheap test that runs before every exact kernel)."""
+    pts = points_df(spark, sf)
+    return pts.filter(
+        (F.col("x") >= 2000.0)
+        & (F.col("x") <= 3300.0)
+        & (F.col("y") >= 1400.0)
+        & (F.col("y") <= 3100.0)
+    )
+
+
+def _q04_oracle() -> str:
+    # closed form: rect ∩ fixed window has positive area
+    return (
+        "WITH r AS (" + oracles.RECT_SELECT + ") "
+        "SELECT rid FROM r WHERE "
+        "GREATEST(0.0, LEAST(rx0 + rw, 6000.0) - GREATEST(rx0, 4000.0)) * "
+        "GREATEST(0.0, LEAST(ry0 + rh, 7000.0) - GREATEST(ry0, 5000.0)) > 0"
+    )
+
+
+@q("q04-exact-pred", _q04_oracle())
+def q04(spark, sf):
+    """Exact spatial predicate (intersects) through the REAL clip kernel in a
+    pandas UDF — oracle is the closed-form rect-overlap test (geo q04)."""
+    import numpy as np
+    from pyspark.sql.types import BooleanType
+
+    from lagespark.kernels import geom
+
+    win = np.array(
+        [[4000.0, 5000.0], [6000.0, 5000.0], [6000.0, 7000.0], [4000.0, 7000.0]]
+    )
+
+    @F.pandas_udf(BooleanType())
+    def intersects(
+        rx0: pd.Series, ry0: pd.Series, rw: pd.Series, rh: pd.Series
+    ) -> pd.Series:
+        out = np.zeros(len(rx0), dtype=bool)
+        x0 = rx0.to_numpy()
+        y0 = ry0.to_numpy()
+        w = rw.to_numpy()
+        h = rh.to_numpy()
+        for i in range(len(out)):
+            ring = np.array(
+                [
+                    [x0[i], y0[i]],
+                    [x0[i] + w[i], y0[i]],
+                    [x0[i] + w[i], y0[i] + h[i]],
+                    [x0[i], y0[i] + h[i]],
+                ]
+            )
+            out[i] = geom.clip_area(ring, win) > 0.0
+        return pd.Series(out)
+
+    r = T(spark, sf, "lineitem").selectExpr(
+        "l_orderkey * 10 + l_linenumber AS rid",
+        "((l_orderkey * 131 + l_partkey * 17) % 95000) / 10.0 AS rx0",
+        "((l_orderkey * 283 + l_suppkey * 19 + l_partkey * 7) % 95000) / 10.0 AS ry0",
+        "50.0 + (l_partkey % 450) AS rw",
+        "50.0 + ((l_partkey * 3 + l_suppkey * 11) % 450) AS rh",
+    )
+    # cheap bbox prefilter first (q03 discipline), exact kernel on survivors
+    cand = r.filter(
+        (F.col("rx0") < 6000.0)
+        & (F.col("rx0") + F.col("rw") > 4000.0)
+        & (F.col("ry0") < 7000.0)
+        & (F.col("ry0") + F.col("rh") > 5000.0)
+    )
+    return cand.filter(intersects("rx0", "ry0", "rw", "rh")).select("rid")
+
+
 # ===========================================================================
 # §2.5 relational joins
 # ===========================================================================
@@ -778,6 +856,41 @@ def q56(spark, sf):
         F.round(F.sum("a"), 4).alias("total_area"),
         F.sum((F.col("a") > 0).cast("long")).alias("n_hit"),
     )
+
+
+def _salt_oracle() -> str:
+    cover = feature_cover_pdf_cached()
+    vals = ", ".join(f"('{r.feature_id}', {r.cell})" for r in cover.itertuples())
+    return (
+        "WITH cover(feature_id, cell) AS (SELECT * FROM (VALUES " + vals + ")), "
+        "pts AS (SELECT pid, "
+        + _cells.grid_cell_sql("x", "y", 250.0)
+        + " AS cell FROM (" + oracles.POINTS_SELECT + ")) "
+        "SELECT feature_id, COUNT(*) AS n FROM pts JOIN cover USING (cell) "
+        "GROUP BY feature_id"
+    )
+
+
+def feature_cover_pdf_cached():
+    global _COVER_PDF
+    try:
+        return _COVER_PDF
+    except NameError:
+        _COVER_PDF = spatial.feature_cover_pdf(_gf_featureset(), 250.0)
+        return _COVER_PDF
+
+
+@q("q66-geo-salted-join", _salt_oracle())
+def q66(spark, sf):
+    """Explicit skew salting (geo-salt, BASELINE.json:14): the fact side gets
+    salt = pmod(hash(pid), S); the dim (cell cover) replicates ×S; the join
+    key becomes (cell, salt) so one hot urban cell spreads across S shuffle
+    partitions. Result must equal the unsalted join — the oracle IS the
+    unsalted SQL."""
+    pts = spatial.with_grid_cell(points_df(spark, sf), cell_size=250.0)
+    cover = spark.createDataFrame(feature_cover_pdf_cached())
+    joined = spatial.salted_cell_join(pts, cover, salt=8, fact_key="pid")
+    return joined.groupBy("feature_id").agg(F.count(F.lit(1)).alias("n"))
 
 
 @q("q57-geo-s2cell")  # trig-based cell encode — no SQL mirror → rows-only

@@ -38,6 +38,28 @@ def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_lagespark_manifest.json")
 
 
+def read_stage(spark, out_dir: str, verify: bool = True):
+    """Read a checkpointed stage back (the src-iceberg degradation's read
+    side): returns (DataFrame, manifest). With verify=True the on-disk
+    partition set is checked against the manifest — a torn write (partition
+    present on disk but absent from the committed manifest, or vice versa)
+    fails fast instead of silently serving partial data."""
+    man = read_manifest(out_dir)
+    if man is None:
+        raise FileNotFoundError(f"no manifest in {out_dir} — stage incomplete")
+    if not man.get("complete"):
+        raise RuntimeError(f"stage {man.get('stage')} manifest is incomplete")
+    if verify:
+        on_disk = set(_partition_metrics(out_dir, man["partition_col"]))
+        declared = set(man["partitions"])
+        if on_disk != declared:
+            raise RuntimeError(
+                f"stage {man['stage']}: partitions on disk {sorted(on_disk)} "
+                f"!= manifest {sorted(declared)}"
+            )
+    return spark.read.parquet(out_dir), man
+
+
 def read_manifest(out_dir: str) -> dict | None:
     p = _manifest_path(out_dir)
     if not os.path.exists(p):

@@ -130,3 +130,20 @@ def test_spark_submit_pyfiles(tmp_path):
     assert res.returncode == 0, res.stderr[-3000:]
     man = manifest.read_manifest(os.path.join(out, "scores"))
     assert man and man["complete"]
+
+
+def test_read_stage_verifies_manifest(spark, fresh_run, tmp_path):
+    from lagespark.pipeline.manifest import read_stage
+
+    out, mans = fresh_run
+    df, man = read_stage(spark, os.path.join(out, "zones"))
+    assert man["stage"] == "zones"
+    assert df.count() == sum(p["rows"] for p in man["partitions"].values())
+
+    # torn write: partition on disk missing → read_stage must fail fast
+    victim = str(tmp_path / "torn")
+    shutil.copytree(os.path.join(out, "zones"), victim)
+    parts = [p for p in os.listdir(victim) if p.startswith("zone=")]
+    shutil.rmtree(os.path.join(victim, parts[0]))
+    with pytest.raises(RuntimeError, match="partitions on disk"):
+        read_stage(spark, victim)

@@ -149,8 +149,10 @@ def bench_at(cores: int, n_spatial: int, n_image: int, runs: int) -> dict:
     spark = get_spark(f"local[{cores}]", app_name=f"lagespark-scale-{cores}")
     spark.sparkContext.setLogLevel("ERROR")
     parts = max(cores * 4, 8)
-    run_spatial(spark, 200_000, parts)  # warm JVM + Python workers
-    run_image(spark, 2_000, parts)
+    # warm-up at FULL size (excluded): JVM JIT + Python worker imports +
+    # allocator growth all land here instead of the first timed run
+    run_spatial(spark, n_spatial, parts)
+    run_image(spark, n_image, parts)
 
     t_sp = timed(lambda: run_spatial(spark, n_spatial, parts), runs)
     t_im = timed(lambda: run_image(spark, n_image, parts), runs)

@@ -773,13 +773,18 @@ def q54(spark, sf):
     "zoned AS (SELECT pid, x, y, " + oracles.zone_case_sql("x", "y") + " AS zone "
     "FROM pts), "
     "pip AS (" + _pip_oracle().replace("WITH pts AS (" + oracles.POINTS_SELECT + ") ", "") + "), "
-    "fac AS (SELECT 0 AS zone, 1.25 AS lagefaktor UNION ALL SELECT 1, 1.0 "
-    "UNION ALL SELECT 2, 0.75), "
-    "val AS (SELECT 'gf000' AS feature_id, 0.5 AS compensatory_value UNION ALL "
-    "SELECT 'gf001', 1.0 UNION ALL SELECT 'gf002', 1.5 UNION ALL "
-    "SELECT 'gf003', 0.5 UNION ALL SELECT 'gf004', 1.0 UNION ALL "
-    "SELECT 'gf005', 1.5 UNION ALL SELECT 'gf006', 0.5 UNION ALL "
-    "SELECT 'gf007', 1.0) "
+    "fac AS (SELECT * FROM (VALUES "
+    + ", ".join(
+        f"({int(r.zone)}, {float(r.lagefaktor)!r})"
+        for r in fixtures.factors_pdf().itertuples()
+    )
+    + ") t(zone, lagefaktor)), "
+    "val AS (SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{r.feature_id}', {float(r.compensatory_value)!r})"
+        for r in fixtures.gruenflaeche_pdf().itertuples()
+    )
+    + ") t(feature_id, compensatory_value)) "
     "SELECT p.feature_id, z.zone, COUNT(*) AS n_points, "
     "ROUND(SUM(v.compensatory_value * f.lagefaktor), 6) AS score "
     "FROM pip p JOIN zoned z USING (pid) JOIN fac f USING (zone) "

@@ -33,6 +33,11 @@ HEADLINE = [
     "q10-join-inner",     # shuffle join + agg
     "q14-join-bcast",     # broadcast join
     "q30-rank",           # window
+    "q66-geo-salted-join",  # explicit skew salting path
+    "q72-dedup-minhash-lsh",  # MinHash+LSH dedup
+    "q75-ann-topk",       # embedding similarity search
+    "q60-img-roundtrip",  # image payload decode + invariant
+    "q90-stream-tumble",  # windowed agg (batch mode)
 ]
 
 
@@ -46,23 +51,25 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    import __spark_entry__ as contract
     from lagespark import harness
     from lagespark.session import get_spark
 
+    queries = contract.queries()  # registers all harness waves
     spark = get_spark(f"local[{cpus}]", app_name="lagespark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm up the JVM AND the Python UDF workers once (excluded from timings:
     # ~1 s/worker pandas+pyarrow import cost would otherwise land on the
     # first pandas-UDF query)
-    harness.QUERIES["q50-geo-cell"](spark, sf_dir).count()
-    harness.QUERIES["q52-geo-zone"](spark, sf_dir).count()
+    queries["q50-geo-cell"](spark, sf_dir).count()
+    queries["q52-geo-zone"](spark, sf_dir).count()
 
     n_points = harness.points_df(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = harness.QUERIES[name]
+        fn = queries[name]
         t0 = time.perf_counter()
         materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)

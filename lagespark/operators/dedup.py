@@ -55,22 +55,24 @@ def shingles_sql(text_col: str = "text", n: int = 3) -> str:
 def minhash_signature(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", perms: int = 8, n: int = 3
 ) -> DataFrame:
-    """(id, p, mh): MinHash per permutation. mh = MIN over shingles of
-    md5(shingle || '#' || p) prefix — fixed-width lowercase hex, so string
-    MIN == numeric MIN and the same text evaluates in any SQL engine."""
+    """(id, mh0..mh{perms-1}): MinHash signature. Permutation p takes the
+    15-hex-char substring of md5(shingle) at offset 2p+1 and MINs it over
+    the shingle set — fixed-width lowercase hex, so string MIN == numeric
+    MIN and the identical text evaluates in any SQL engine.
+
+    One md5 per shingle serves all permutations (8× cheaper than hashing
+    (shingle, p) pairs and no row explosion). The derived permutations share
+    hash bits, which correlates bands slightly — acceptable for candidate
+    generation (verified exactly downstream); swap in independent hashes
+    per permutation where statistical guarantees matter. perms ≤ 9 with
+    15-char windows over the 32-char digest."""
+    assert perms <= 9
     sh = df.select(F.col(id_col), F.explode(shingle_col(text_col, n)).alias("sh"))
-    sp = sh.join(
-        F.broadcast(
-            df.sparkSession.range(perms).select(F.col("id").cast("int").alias("p"))
-        )
-    )
-    return sp.groupBy(id_col, "p").agg(
-        F.min(
-            F.substring(
-                F.md5(F.concat(F.col("sh"), F.lit("#"), F.col("p").cast("string"))), 1, 15
-            )
-        ).alias("mh")
-    )
+    h = sh.select(F.col(id_col), F.md5("sh").alias("h"))
+    aggs = [
+        F.min(F.substring("h", 2 * p + 1, 15)).alias(f"mh{p}") for p in range(perms)
+    ]
+    return h.groupBy(id_col).agg(*aggs)
 
 
 def minhash_pairs(
@@ -82,13 +84,24 @@ def minhash_pairs(
     n: int = 3,
 ) -> DataFrame:
     """LSH candidate pairs (a, b): docs sharing ≥1 band of the MinHash
-    signature. bands = perms / band_rows."""
+    signature. bands = perms / band_rows. Each doc explodes to one row per
+    band key; the self-join runs per (band, key) bucket — at scale the key
+    space is uniform (md5) so the shuffle partitions evenly."""
     sig = minhash_signature(df, id_col, text_col, perms, n)
-    banded = sig.withColumn("band", (F.col("p") / band_rows).cast("int"))
-    keys = banded.groupBy(id_col, "band").agg(
-        F.concat_ws("|", F.sort_array(F.collect_list(F.concat_ws(":", "p", "mh")))).alias(
-            "band_key"
-        )
+    bands = perms // band_rows
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    keys = sig.select(F.col(id_col), F.explode(band_keys).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
     a = keys.select(F.col(id_col).alias("a"), "band", "band_key")
     b = keys.select(F.col(id_col).alias("b"), "band", "band_key")
@@ -105,20 +118,25 @@ def minhash_pairs_sql(
     id_col: str = "doc_id", text_col: str = "text",
 ) -> str:
     """DuckDB mirror of minhash_pairs (same md5 math, same band keys)."""
+    mins = ", ".join(
+        f"MIN(substr(h, {2 * p + 1}, 15)) AS mh{p}" for p in range(perms)
+    )
+    bands = perms // band_rows
+    unions = " UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band, "
+        + " || '|' || ".join(f"mh{b * band_rows + r}" for r in range(band_rows))
+        + " AS band_key FROM sig"
+        for b in range(bands)
+    )
     return f"""
 WITH sh AS (
   SELECT {id_col}, unnest({shingles_sql(text_col, n)}) AS sh FROM {source}
 ),
 sig AS (
-  SELECT {id_col}, CAST(p AS INT) AS p,
-         MIN(substr(md5(sh || '#' || CAST(p AS VARCHAR)), 1, 15)) AS mh
-  FROM sh CROSS JOIN range({perms}) t(p) GROUP BY {id_col}, p
+  SELECT {id_col}, {mins} FROM (SELECT {id_col}, md5(sh) AS h FROM sh)
+  GROUP BY {id_col}
 ),
-keys AS (
-  SELECT {id_col}, CAST(FLOOR(p / {band_rows}) AS INT) AS band,
-         array_to_string(list_sort(list(CAST(p AS VARCHAR) || ':' || mh)), '|') AS band_key
-  FROM sig GROUP BY {id_col}, band
-)
+keys AS ({unions})
 SELECT DISTINCT a.{id_col} AS a, b.{id_col} AS b
 FROM keys a JOIN keys b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.{id_col} < b.{id_col}

@@ -194,6 +194,10 @@ def with_min_dist(
             )
         )
 
+    # asNondeterministic: stops Catalyst pushing derived predicates (e.g. a
+    # downstream join's isnotnull) below joins, which would re-run the kernel
+    # over the full fact table instead of the join survivors
+    dist = dist.asNondeterministic()
     return df.withColumn(out, dist(F.col(x), F.col(y)))
 
 
@@ -220,6 +224,8 @@ def with_zone(
             )
         )
 
+    # see with_min_dist: prevents kernel duplication via predicate pushdown
+    zone = zone.asNondeterministic()
     return df.withColumn(out, zone(F.col(x), F.col(y)))
 
 

@@ -552,9 +552,58 @@ def q38(spark, sf):
     ).distinct()
 
 
+@q(
+    "q39-window-extras",
+    "SELECT o_orderkey, DENSE_RANK() OVER w AS drk, NTILE(4) OVER w AS tile, "
+    "ROUND(PERCENT_RANK() OVER w, 6) AS prk, "
+    "FIRST_VALUE(o_orderkey) OVER w AS first_ok "
+    "FROM orders WINDOW w AS (PARTITION BY o_orderpriority "
+    "ORDER BY o_totalprice DESC, o_orderkey)",
+)
+def q39(spark, sf):
+    o = T(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("tile"),
+        F.round(F.percent_rank().over(w), 6).alias("prk"),
+        F.first("o_orderkey").over(w).alias("first_ok"),
+    )
+
+
+@q(
+    "q28-percentile-approx"
+)  # approximate by contract (rows-only, like q22)
+def q28(spark, sf):
+    li = T(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("p95"),
+    )
+
+
 # ===========================================================================
 # §2.8 scalar functions
 # ===========================================================================
+
+
+@q(
+    "q45-scalar-fuzzy",
+    "SELECT c_custkey, levenshtein(c_name, 'Customer#000000001') AS lev, "
+    "reverse(c_name) AS rname, lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded "
+    "FROM customer",
+)
+def q45(spark, sf):
+    c = T(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.levenshtein("c_name", F.lit("Customer#000000001")).alias("lev"),
+        F.reverse("c_name").alias("rname"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+    )
 
 
 @q(
@@ -896,6 +945,35 @@ def q66(spark, sf):
     cover = spark.createDataFrame(feature_cover_pdf_cached())
     joined = spatial.salted_cell_join(pts, cover, salt=8, fact_key="pid")
     return joined.groupBy("feature_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _knn3_oracle() -> str:
+    from lagespark import fixtures as fx
+
+    dist_cases = []
+    for _, row in fx.gruenflaeche_pdf().iterrows():
+        rings = [np.array([[p["x"], p["y"]] for p in ring]) for ring in row["rings"]]
+        d = oracles.polygon_dist_sql("x", "y", rings[0], [rings[0]])
+        dist_cases.append((row["feature_id"], d))
+    unions = " UNION ALL ".join(
+        f"SELECT pid, x, y, '{fid}' AS nn_feature_id, {d} AS d FROM q"
+        for fid, d in dist_cases
+    )
+    return (
+        "WITH q AS (SELECT * FROM (" + oracles.POINTS_SELECT + ") WHERE pid % 101 = 0), "
+        "cand AS (" + unions + ") "
+        "SELECT pid, nn_feature_id, ROUND(d, 6) AS nn_dist, CAST(rn AS INT) AS nn_rank "
+        "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY pid ORDER BY d, "
+        "nn_feature_id) AS rn FROM cand) WHERE rn <= 3"
+    )
+
+
+@q("q67-geo-knn3", _knn3_oracle())
+def q67(spark, sf):
+    """kNN with k=3 (exercises the rank output of geo-knn)."""
+    pts = points_df(spark, sf).filter(F.col("pid") % 101 == 0)
+    res = spatial.knn_join(pts, _gf_featureset(), k=3)
+    return res.select("pid", "nn_feature_id", "nn_dist", "nn_rank")
 
 
 @q("q57-geo-s2cell")  # trig-based cell encode — no SQL mirror → rows-only

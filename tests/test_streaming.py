@@ -191,3 +191,16 @@ def test_stream_static_geo_join(spark, tmpdir):
     got = spark.sql(f"SELECT COUNT(*) AS n FROM {name}").toPandas()
     want = spark.read.parquet(src).count()
     assert int(got.n[0]) == want
+
+
+def test_sliding_batch_equivalence(spark, tmpdir):
+    src = _events_src(spark, tmpdir)
+    stream = ops.read_events_stream(spark, src)
+    name = "sl" + uuid.uuid4().hex[:8]
+    q = _start(ops.sliding_counts(stream), name)
+    q.awaitTermination(120)
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    want = ops.sliding_counts(spark.read.parquet(src)).toPandas()
+    g = got.sort_values(["win_start_us", "n"]).reset_index(drop=True)
+    w = want.sort_values(["win_start_us", "n"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)

@@ -437,7 +437,7 @@ def q30(spark, sf):
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "rn")
     )
@@ -481,7 +481,7 @@ def q33(spark, sf):
     p = T(spark, sf, "part")
     w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
     return (
-        p.withColumn("rk", F.rank().over(w))
+        p.withColumn("rk", F.rank().over(w).cast("long"))
         .filter(F.col("rk") <= 2)
         .select("p_brand", "p_partkey", "p_retailprice", "rk")
     )
@@ -497,7 +497,7 @@ def q34(spark, sf):
     li = T(spark, sf, "lineitem")
     w = Window.orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
     return (
-        li.withColumn("rn", F.row_number().over(w))
+        li.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 100)
         .select("l_orderkey", "l_linenumber", "rn")
     )
@@ -567,8 +567,8 @@ def q39(spark, sf):
     )
     return o.select(
         "o_orderkey",
-        F.dense_rank().over(w).alias("drk"),
-        F.ntile(4).over(w).alias("tile"),
+        F.dense_rank().over(w).cast("long").alias("drk"),
+        F.ntile(4).over(w).cast("long").alias("tile"),
         F.round(F.percent_rank().over(w), 6).alias("prk"),
         F.first("o_orderkey").over(w).alias("first_ok"),
     )

@@ -83,7 +83,10 @@ def quality_exprs(col: str, dialect: str) -> dict[str, str]:
     else:
         n_punct = f"CAST(len(regexp_extract_all({col}, '[^A-Za-z0-9 ]')) AS INT)"
     return {
-        "n_chars_txt": f"length({col})",
+        "n_chars_txt": (
+            f"length({col})" if dialect == "spark"
+            else f"CAST(length({col}) AS INT)"
+        ),
         "punct_ratio": f"ROUND({n_punct} / CAST(length({col}) AS DOUBLE), 4)",
         "stopword_ratio": f"ROUND({n_stop} / CAST({n_tok} AS DOUBLE), 4)",
         "mean_word_len": (

@@ -1,0 +1,89 @@
+"""Skew + physical-layout tests: the explicit-salting correctness contract
+on genuinely skewed data (BASELINE.json:14) and bucketed co-located joins
+(SURVEY.md §4 'bucketing for co-located joins')."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lagespark import fixtures
+from lagespark.kernels import cells
+from lagespark.operators import spatial
+
+
+def test_fixture_points_are_skewed():
+    """The urban clusters must actually produce hot cells (the salting
+    test bed, FIXTURES.md §1)."""
+    x, y = fixtures.image_points(20_000)
+    c = cells.grid_encode(x, y, 250.0)
+    _, counts = np.unique(c, return_counts=True)
+    top = counts.max()
+    median = np.median(counts)
+    assert top > 20 * median, f"expected hot cells: top={top}, median={median}"
+
+
+def test_salted_join_equals_plain_join_on_skewed_data(spark):
+    """Salting must be a pure physical rewrite: identical rows out."""
+    import pandas as pd
+
+    x, y = fixtures.image_points(30_000)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": np.arange(30_000), "x": x, "y": y})
+    )
+    pts = spatial.with_grid_cell(pts)
+    gf = spatial.FeatureSet(fixtures.gruenflaeche_pdf())
+    cover = spark.createDataFrame(spatial.feature_cover_pdf(gf, 250.0))
+
+    plain = pts.join(cover, "cell").groupBy("feature_id").count().toPandas()
+    salted = (
+        spatial.salted_cell_join(pts, cover, salt=8, fact_key="pid")
+        .groupBy("feature_id")
+        .count()
+        .toPandas()
+    )
+    a = plain.sort_values("feature_id").reset_index(drop=True)
+    b = salted.sort_values("feature_id").reset_index(drop=True)
+    assert (a["feature_id"] == b["feature_id"]).all()
+    assert (a["count"] == b["count"]).all()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Pre-bucketing both sides on the join key removes the shuffle — the
+    co-located join layout for repeated cell-keyed joins at scale."""
+    # (warehouse.dir is a static conf — tables land in ./spark-warehouse,
+    # which is gitignored and dropped in the finally block)
+    import pandas as pd
+
+    x, y = fixtures.image_points(5_000)
+    pts = spatial.with_grid_cell(
+        spark.createDataFrame(pd.DataFrame({"pid": np.arange(5_000), "x": x, "y": y}))
+    )
+    gf = spatial.FeatureSet(fixtures.gruenflaeche_pdf())
+    cover = spark.createDataFrame(spatial.feature_cover_pdf(gf, 250.0))
+
+    spark.sql("DROP TABLE IF EXISTS pts_b")
+    spark.sql("DROP TABLE IF EXISTS cover_b")
+    pts.write.bucketBy(8, "cell").sortBy("cell").saveAsTable("pts_b")
+    cover.write.bucketBy(8, "cell").sortBy("cell").saveAsTable("cover_b")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("pts_b").join(spark.table("cover_b"), "cell")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        # and the join still returns the right rows
+        n = joined.count()
+        plain = pts.join(cover, "cell").count()
+        assert n == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS pts_b")
+        spark.sql("DROP TABLE IF EXISTS cover_b")

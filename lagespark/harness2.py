@@ -36,8 +36,8 @@ def q70(spark, sf):
     "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
     "len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard "
     "FROM s a, s b WHERE a.doc_id < b.doc_id "
-    "AND ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
-    "len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.62",
+    "AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+    "len(list_distinct(list_concat(a.sh, b.sh))) >= 0.62",
 )
 def q71(spark, sf):
     d = T(spark, sf, "documents").filter(F.col("doc_id") < 150)
@@ -87,6 +87,40 @@ def q74(spark, sf):
     """Embedding-cosine near-duplicate pairs (vectorized matmul per batch)."""
     e = T(spark, sf, "embeddings")
     return similarity.cosine_pairs(e, threshold=0.3)
+
+
+def _components_oracle() -> str:
+    """Connected components of the high-similarity pair graph via a
+    recursive transitive-closure CTE (node set is small at harness scale;
+    the Spark side is the scalable label-propagation loop)."""
+    pairs = (
+        "SELECT a.doc_id AS a, b.doc_id AS b FROM s a, s b "
+        "WHERE a.doc_id < b.doc_id AND "
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+        "len(list_distinct(list_concat(a.sh, b.sh))) >= 0.65"
+    )
+    return (
+        "WITH RECURSIVE s AS (SELECT doc_id, " + dedup.shingles_sql("text", 3)
+        + " AS sh FROM documents WHERE doc_id < 120), "
+        "p AS (" + pairs + "), "
+        "e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p), "
+        "reach AS ("
+        "  SELECT u, v FROM e"
+        "  UNION"
+        "  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u"
+        ") "
+        "SELECT u AS doc, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u"
+    )
+
+
+@q("q81-dedup-components", _components_oracle())
+def q81(spark, sf):
+    """Duplicate clusters: LSH/Jaccard pairs → connected components by
+    iterative min-label propagation (the canonical-representative step of a
+    dedup pipeline)."""
+    d = T(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.65)
+    return dedup.duplicate_components(pairs.select("a", "b"))
 
 
 # ===========================================================================

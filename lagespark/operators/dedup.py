@@ -165,6 +165,50 @@ def simhash_value_sql(bits: int) -> str:
     return "(" + " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)) + ")"
 
 
+def duplicate_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """(a, b) candidate-duplicate pairs → (doc, component) where component is
+    the minimum doc id reachable through the pair graph (the canonical
+    representative each duplicate cluster keeps).
+
+    Iterative min-label propagation over DataFrames: each round joins every
+    node's current label against its neighbors' and takes the min, until a
+    fixpoint (checked with a driver-side count — one tiny action per round).
+    Rounds needed = graph diameter; duplicate clusters are shallow in
+    practice. This is the standard large-scale connected-components shape
+    (hash-partitioned joins, no driver materialization of the graph)."""
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.v == labels.node)
+            .select(F.col("u").alias("node"), "label")
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc"), F.col("label").alias("component"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -181,8 +225,10 @@ def ngram_jaccard_pairs(
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_distinct(F.concat("sh_a", "sh_b"))
     )
+    # threshold on the RAW ratio (int/int division — bit-identical in any
+    # IEEE engine, so the oracle filter agrees exactly); round only the output
     return (
-        pairs.withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
+        pairs.withColumn("raw_jac", jac)
+        .filter(F.col("raw_jac") >= threshold)
+        .select("a", "b", F.round("raw_jac", 4).alias("jaccard"))
     )

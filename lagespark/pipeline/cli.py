@@ -67,22 +67,47 @@ def run(args) -> dict:
         zoned, zone_dir, "zones", "zone", inputs=[m1["manifest_id"]], resume=args.resume
     )
 
-    # stage 3: aggregation (single small output + manifest)
-    score_dir = os.path.join(args.out, "scores")
-    stage2 = spark.read.parquet(zone_dir)
-    scores = stage2.groupBy("zone", "fmt").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.length("bytes")).alias("payload_bytes"),
+    # stage 3: tile materialization ("a killed job resumes MID-TILING",
+    # BASELINE.json:6 — tiles are partitioned by a tile bucket so resume
+    # recomputes only missing buckets)
+    tile_dir = os.path.join(args.out, "tiles")
+    stage2b = spark.read.parquet(zone_dir)
+    tile_size = args.cell_size * 4
+    tiles = (
+        stage2b.withColumn(
+            "tile_id",
+            (F.floor(F.col("x") / tile_size).cast("long") + 1048576) * 2097152
+            + (F.floor(F.col("y") / tile_size).cast("long") + 1048576),
+        )
+        .groupBy("tile_id", "zone")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum(F.length("bytes")).alias("payload_bytes"),
+        )
+        .withColumn("tile_bucket", F.pmod(F.col("tile_id"), 16).cast("int"))
     )
     m3 = manifest.write_stage(
+        tiles, tile_dir, "tiles", "tile_bucket", inputs=[m2["manifest_id"]],
+        resume=args.resume,
+    )
+
+    # stage 4: aggregation (single small output + manifest)
+    score_dir = os.path.join(args.out, "scores")
+    stage3 = spark.read.parquet(tile_dir)
+    scores = stage3.groupBy("zone").agg(
+        F.sum("n_images").alias("n"),
+        F.sum("payload_bytes").alias("payload_bytes"),
+        F.count(F.lit(1)).alias("n_tiles"),
+    )
+    m4 = manifest.write_stage(
         scores.withColumn("bucket", F.lit(0)),
         score_dir,
         "scores",
         "bucket",
-        inputs=[m2["manifest_id"]],
+        inputs=[m3["manifest_id"]],
         resume=args.resume,
     )
-    out = {"images": m1, "zones": m2, "scores": m3}
+    out = {"images": m1, "zones": m2, "tiles": m3, "scores": m4}
     print(json.dumps({s: {"rows": sum(p["rows"] for p in m["partitions"].values()),
                           "partitions": len(m["partitions"])}
                       for s, m in out.items()}))

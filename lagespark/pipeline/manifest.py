@@ -103,8 +103,13 @@ def write_stage(
     an existing incomplete output, only missing partitions are recomputed."""
     spark = df.sparkSession
     man = read_manifest(out_dir)
+    if man and man.get("complete") and man.get("inputs") == (inputs or []):
+        return man  # stage done with the SAME inputs — skip entirely
     if man and man.get("complete"):
-        return man  # stage done — skip entirely
+        # lineage invalidation: an upstream stage recomputed (different input
+        # manifest ids) → this stage's data is stale and must rebuild fully
+        man = None
+        resume = False
 
     done_vals: set[str] = set()
     if resume and os.path.isdir(out_dir):
@@ -134,6 +139,9 @@ def write_stage(
         "partitions": _partition_metrics(out_dir, partition_col),
         "observed_rows": observed,
         "resumed_partitions_kept": sorted(done_vals),
+        # snapshot lineage: prior manifest ids of this stage directory
+        # (Iceberg-snapshot-style history, newest last)
+        "snapshots": (man.get("snapshots", []) + [man["manifest_id"]]) if man else [],
         "complete": True,
     }
     tmp = _manifest_path(out_dir) + f".tmp.{uuid.uuid4().hex[:8]}"

@@ -42,7 +42,8 @@ def test_manifests_complete_with_metrics(fresh_run):
     assert mans["images"]["observed_rows"] == N
     # lineage chain
     assert mans["zones"]["inputs"] == [mans["images"]["manifest_id"]]
-    assert mans["scores"]["inputs"] == [mans["zones"]["manifest_id"]]
+    assert mans["tiles"]["inputs"] == [mans["zones"]["manifest_id"]]
+    assert mans["scores"]["inputs"] == [mans["tiles"]["manifest_id"]]
 
 
 def test_rerun_skips_completed_stages(spark, fresh_run):
@@ -63,8 +64,8 @@ def test_kill_and_resume_recomputes_only_missing(spark, fresh_run, tmp_path):
     assert len(parts) >= 2
     shutil.rmtree(os.path.join(zdir, parts[0]))
     os.remove(os.path.join(zdir, "_lagespark_manifest.json"))
-    # also drop downstream stage (it depends on stage 2)
-    shutil.rmtree(os.path.join(victim, "scores"))
+    # downstream stages (tiles, scores) are NOT touched: lineage-based
+    # invalidation must rebuild them because zones gets a new manifest id
 
     kept = os.path.join(zdir, parts[1])
     kept_mtimes = {

@@ -976,6 +976,61 @@ def q67(spark, sf):
     return res.select("pid", "nn_feature_id", "nn_dist", "nn_rank")
 
 
+def _rect_features(spark, sf, mod: int):
+    """Synthesized rects as REAL polygon feature rows (rings/bbox) — the
+    input shape of the distributed overlay join."""
+    r = T(spark, sf, "lineitem").selectExpr(
+        "l_orderkey * 10 + l_linenumber AS rid",
+        "((l_orderkey * 131 + l_partkey * 17) % 95000) / 10.0 AS rx0",
+        "((l_orderkey * 283 + l_suppkey * 19 + l_partkey * 7) % 95000) / 10.0 AS ry0",
+        "50.0 + (l_partkey % 450) AS rw",
+        "50.0 + ((l_partkey * 3 + l_suppkey * 11) % 450) AS rh",
+    ).filter(F.expr(f"rid % {mod} = 0"))
+    # rid is not unique in the harness lineitem → deterministic MIN dedup
+    r = r.groupBy("rid").agg(
+        F.min("rx0").alias("rx0"),
+        F.min("ry0").alias("ry0"),
+        F.min("rw").alias("rw"),
+        F.min("rh").alias("rh"),
+    )
+    pt = lambda xe, ye: F.struct(xe.alias("x"), ye.alias("y"))  # noqa: E731
+    x0, y0 = F.col("rx0"), F.col("ry0")
+    x1, y1 = F.col("rx0") + F.col("rw"), F.col("ry0") + F.col("rh")
+    ring = F.array(pt(x0, y0), pt(x1, y0), pt(x1, y1), pt(x0, y1))
+    return r.select(
+        F.col("rid").alias("feature_id"),
+        F.array(ring).alias("rings"),
+        x0.alias("xmin"),
+        y0.alias("ymin"),
+        x1.alias("xmax"),
+        y1.alias("ymax"),
+    )
+
+
+@q(
+    "q68-geo-overlay-join",
+    "WITH r AS (" + oracles.RECT_SELECT + "), "
+    "d AS (SELECT rid, MIN(rx0) AS rx0, MIN(ry0) AS ry0, MIN(rw) AS rw, "
+    "MIN(rh) AS rh FROM r GROUP BY rid), "
+    "a AS (SELECT * FROM d WHERE rid % 17 = 0), "
+    "b AS (SELECT * FROM d WHERE rid % 19 = 0) "
+    "SELECT a.rid AS id_l, b.rid AS id_r, ROUND("
+    "GREATEST(0.0, LEAST(a.rx0 + a.rw, b.rx0 + b.rw) - GREATEST(a.rx0, b.rx0)) * "
+    "GREATEST(0.0, LEAST(a.ry0 + a.rh, b.ry0 + b.rh) - GREATEST(a.ry0, b.ry0)), 2) "
+    "AS area FROM a, b WHERE ROUND("
+    "GREATEST(0.0, LEAST(a.rx0 + a.rw, b.rx0 + b.rw) - GREATEST(a.rx0, b.rx0)) * "
+    "GREATEST(0.0, LEAST(a.ry0 + a.rh, b.ry0 + b.rh) - GREATEST(a.ry0, b.ry0)), 2) > 0",
+)
+def q68(spark, sf):
+    """Distributed polygon×polygon overlay join (geo-overlay with DATA-SCALE
+    feature sets on both sides): native bbox-cover explosion → cell
+    equi-join → PBSM reference-cell dedup → exact clip-kernel areas. Oracle
+    is the closed-form rect-overlap area."""
+    a = _rect_features(spark, sf, 17)
+    b = _rect_features(spark, sf, 19)
+    return spatial.overlay_join(a, b, cell_size=250.0, round_to=2)
+
+
 @q("q57-geo-s2cell")  # trig-based cell encode — no SQL mirror → rows-only
 def q57(spark, sf):
     pts = points_df(spark, sf)

@@ -111,6 +111,35 @@ def point_in_polygon(xs: np.ndarray, ys: np.ndarray, rings: list[Ring]) -> np.nd
 # clipping
 # ---------------------------------------------------------------------------
 
+def _clip_convex_small(subject: Ring, clip: Ring) -> Ring:
+    """Pure-Python Sutherland–Hodgman for SMALL rings: tiny-array numpy calls
+    cost ~2µs each in interpreter overhead, so scalar float arithmetic is
+    ~20× faster below a few dozen vertices (the common polygon size)."""
+    out = [(float(p[0]), float(p[1])) for p in subject]
+    cl = [(float(p[0]), float(p[1])) for p in clip]
+    n = len(cl)
+    for i in range(n):
+        if not out:
+            break
+        ax, ay = cl[i]
+        bx, by = cl[(i + 1) % n]
+        ex, ey = bx - ax, by - ay
+        res = []
+        qx, qy = out[-1]
+        q_in = ex * (qy - ay) - ey * (qx - ax) >= 0.0
+        for px, py in out:
+            p_in = ex * (py - ay) - ey * (px - ax) >= 0.0
+            if p_in != q_in:
+                denom = ex * (py - qy) - ey * (px - qx)
+                t = (ex * (ay - qy) - ey * (ax - qx)) / denom if denom else 0.0
+                res.append((qx + t * (px - qx), qy + t * (py - qy)))
+            if p_in:
+                res.append((px, py))
+            qx, qy, q_in = px, py, p_in
+        out = res
+    return np.asarray(out, dtype=np.float64) if out else np.zeros((0, 2))
+
+
 def clip_convex(subject: Ring, clip: Ring) -> Ring:
     """Sutherland–Hodgman: clip an arbitrary simple ring against a CONVEX
     CCW clip ring. Returns the clipped ring ((0,2) if empty). The subject may
@@ -121,6 +150,8 @@ def clip_convex(subject: Ring, clip: Ring) -> Ring:
     if len(clip) < 3 or abs(signed_area(clip)) < 1e-12:
         return np.zeros((0, 2))
     clip = ensure_ccw(clip)
+    if len(out) + len(clip) < 64:
+        return _clip_convex_small(out, clip)
     cx = clip[:, 0]
     cy = clip[:, 1]
     nxt = np.arange(1, len(clip) + 1) % len(clip)
@@ -234,10 +265,38 @@ def convex_decompose(rings: list[Ring]) -> list[tuple[Ring, float]]:
     return pieces
 
 
+def is_convex(ring: Ring) -> bool:
+    """All cross products share a sign (scalar loop — rings are small)."""
+    n = len(ring)
+    if n < 4:
+        return True
+    sign = 0
+    for i in range(n):
+        ax, ay = ring[i]
+        bx, by = ring[(i + 1) % n]
+        cx, cy = ring[(i + 2) % n]
+        cr = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        if cr > 1e-12:
+            if sign < 0:
+                return False
+            sign = 1
+        elif cr < -1e-12:
+            if sign > 0:
+                return False
+            sign = -1
+    return True
+
+
 def intersection_area(a_rings: list[Ring], b_rings: list[Ring]) -> float:
     """Exact area of A ∩ B for simple polygons with holes, via triangulated
     Sutherland–Hodgman: area = Σ_{tB,σB} σB · (clip(A.outer,tB) − Σ_h clip(A.hole,tB)).
-    Triangles of B partition it, so the clipped areas add exactly."""
+    Triangles of B partition it, so the clipped areas add exactly. Convex B
+    without holes skips triangulation (one clip per A ring)."""
+    if len(b_rings) == 1 and is_convex(b_rings[0]):
+        piece = clip_area(a_rings[0], b_rings[0])
+        for hole in a_rings[1:]:
+            piece -= clip_area(hole, b_rings[0])
+        return max(piece, 0.0)
     total = 0.0
     for tri, sign in convex_decompose(b_rings):
         piece = clip_area(a_rings[0], tri)

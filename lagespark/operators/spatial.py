@@ -472,6 +472,9 @@ def overlay_join(
             out[k] = geom.intersection_area(rings_np(a.iloc[k]), rings_np(b.iloc[k]))
         return pd.Series(np.round(out, round_to))
 
+    # nondeterministic marker: stops Catalyst evaluating the kernel twice
+    # (once for the filter, once for the projection)
+    inter_area = inter_area.asNondeterministic()
     res = cand.withColumn("area", inter_area("rings_l", "rings_r"))
     return res.filter(F.col("area") > 0).select("id_l", "id_r", "area")
 

@@ -85,3 +85,15 @@ def test_whole_stage_codegen_on_native_path(spark):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     c = plan_of(df, "codegen")
     assert "WholeStageCodegen" in c
+
+
+def test_overlay_join_cover_explosion_is_native(spark):
+    """The distributed overlay join's cover explosion must be native
+    (sequence/explode in codegen) — Python appears only at the final exact
+    kernel, after the cell join + prefilters."""
+    from lagespark import harness
+
+    p = plan_of(harness.QUERIES["q68-geo-overlay-join"](spark, SF), "simple")
+    # exactly one Arrow UDF node (the exact-area kernel)
+    assert p.count("ArrowEvalPython") == 1
+    assert "Generate explode" in p  # native cover explosion

@@ -53,10 +53,10 @@ def q59(spark, sf):
 @q("q60-img-roundtrip")  # payload invariant (BASELINE.json:6,15)
 def q60(spark, sf):
     """Per-fmt roundtrip: min PSNR (≥40 for lossy), exact count (== n for
-    lossless), max pHash hamming."""
+    lossless), max pHash hamming — fused generate→decode→check, one
+    Python pass."""
     image_ops.set_image_batching(spark)
-    imgs = image_ops.generate_images(spark, _n_images(sf))
-    chk = image_ops.roundtrip_check(imgs)
+    chk = image_ops.generate_and_check(spark, _n_images(sf))
     return chk.groupBy("fmt").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("psnr").alias("min_psnr"),

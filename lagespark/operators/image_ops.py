@@ -112,6 +112,34 @@ def roundtrip_check(images: DataFrame) -> DataFrame:
     )
 
 
+def generate_and_check(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
+    """Fused generation → decode → invariant check in ONE mapInPandas pass
+    (no intermediate payload materialization — the production shape for
+    validation sweeps; see also BENCH/scaling.py run_image)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = fixtures.images_pdf_for_indices(pdf["id"].to_numpy())
+            out = []
+            for r in rows.itertuples():
+                i = int(r.image_id.replace("img", ""))
+                ref = codecs.procedural_image(i, r.w, r.h)
+                px = codecs.decode_image(r.bytes, r.fmt, r.w, r.h)
+                p = codecs.psnr(ref, px)
+                ham = bin((codecs.phash64(px) ^ r.phash) & (2**64 - 1)).count("1")
+                out.append(
+                    (r.image_id, r.fmt, round(min(p, 99.0), 2),
+                     bool((px == ref).all()), ham)
+                )
+            yield pd.DataFrame(
+                out, columns=["image_id", "fmt", "psnr", "exact", "phash_hamming"]
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(
+        run, "image_id string, fmt string, psnr double, exact boolean, phash_hamming int"
+    )
+
+
 def transcode(images: DataFrame, to_fmt: str = "png") -> DataFrame:
     """decode→encode in one Python pass (single mapInPandas stage)."""
 

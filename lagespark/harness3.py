@@ -106,6 +106,19 @@ def q63(spark, sf):
     )
 
 
+@q("q69-img-tile-chain")
+def q69(spark, sf):
+    """decode→tile→encode chain (one Python pass): 2×2 tiles re-encoded as
+    PNG; per-fmt-source tile counts + byte totals."""
+    image_ops.set_image_batching(spark)
+    imgs = image_ops.generate_images(spark, min(_n_images(sf), 2000))
+    tiles = image_ops.tile_chain(imgs, grid=2, to_fmt="png")
+    return tiles.groupBy("w", "h").agg(
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.sum(F.length("bytes")).alias("total_bytes"),
+    )
+
+
 @q("q64-multimodal-stub")
 def q64(spark, sf):
     """Audio/video metadata plumbing with STUBBED codec (deterministic fake

@@ -163,6 +163,39 @@ def transcode(images: DataFrame, to_fmt: str = "png") -> DataFrame:
     )
 
 
+def tile_chain(images: DataFrame, grid: int = 2, to_fmt: str = "png") -> DataFrame:
+    """decode → tile (grid×grid crop) → encode in ONE Python pass: each image
+    row yields grid² tile rows with re-encoded payloads (the SURVEY.md §7
+    'decode→tile→encode chain' — one mapInPandas stage, not three)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                px = codecs.decode_image(r.bytes, r.fmt, r.w, r.h)
+                th, tw = r.h // grid, r.w // grid
+                for gy in range(grid):
+                    for gx in range(grid):
+                        tile = px[gy * th : (gy + 1) * th, gx * tw : (gx + 1) * tw]
+                        rows.append(
+                            (
+                                r.image_id,
+                                gy * grid + gx,
+                                codecs.encode_image(np.ascontiguousarray(tile), to_fmt),
+                                tw,
+                                th,
+                                to_fmt,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "tile_no", "bytes", "w", "h", "fmt"]
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, "image_id string, tile_no int, bytes binary, w int, h int, fmt string"
+    )
+
+
 def resize_pool2(images: DataFrame) -> DataFrame:
     """2×2 average-pool downscale (the 'resize' of the multimodal op set),
     re-encoded as raw. Vectorized per image; one Python pass."""

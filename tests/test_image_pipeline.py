@@ -79,3 +79,27 @@ def test_ann_lsh_recall(spark):
     ap = {(r.qid, r.nn_id) for r in approx.itertuples()}
     recall = len(ex & ap) / len(ex)
     assert recall >= 0.5, f"LSH recall {recall:.2f} below multi-table floor"
+
+
+def test_tile_chain_roundtrip(spark, images):
+    """Tiles reassemble to the original pixels (decode→tile→encode→decode)."""
+    import numpy as np
+
+    from lagespark.image import codecs
+
+    tiles = image_ops.tile_chain(images, grid=2, to_fmt="png").toPandas()
+    src = images.toPandas().set_index("image_id")
+    for iid, grp in list(tiles.groupby("image_id"))[:10]:
+        r = src.loc[iid]
+        orig = codecs.decode_image(r["bytes"], r["fmt"], r["w"], r["h"])
+        th, tw = r["h"] // 2, r["w"] // 2
+        rebuilt = np.zeros((th * 2, tw * 2, 3), np.uint8)
+        for t in grp.itertuples():
+            gy, gx = divmod(t.tile_no, 2)
+            rebuilt[gy * th : (gy + 1) * th, gx * tw : (gx + 1) * tw] = (
+                codecs.decode_image(t.bytes, "png", t.w, t.h)
+            )
+        if r["fmt"] == "qdct":
+            assert codecs.psnr(orig[: th * 2, : tw * 2], rebuilt) == float("inf")
+        else:
+            assert (rebuilt == orig[: th * 2, : tw * 2]).all()

@@ -103,12 +103,18 @@ def minhash_pairs(
     keys = sig.select(F.col(id_col), F.explode(band_keys).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
-    a = keys.select(F.col(id_col).alias("a"), "band", "band_key")
-    b = keys.select(F.col(id_col).alias("b"), "band", "band_key")
+    # pairs within each bucket WITHOUT a self-join (a self-join would compute
+    # the whole signature subplan twice): group ids per band key, emit the
+    # a<b combinations with a double explode
+    buckets = (
+        keys.groupBy("band", "band_key")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(b, ["band", "band_key"])
+        buckets.select(F.explode("ids").alias("a"), F.col("ids"))
+        .select("a", F.explode("ids").alias("b"))
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
         .distinct()
     )
 

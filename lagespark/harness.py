@@ -388,10 +388,14 @@ def q24(spark, sf):
     "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())",
 )
 def q25(spark, sf):
-    # DataFrame-side grouping sets via the SQL front door (PySpark 4's
-    # GroupedData.groupingSets is exercised in tests; SQL keeps parity here)
-    T(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(ORACLES["q25-gsets"])
+    # PySpark 4 native grouping sets (no temp-view mutation of the session)
+    return (
+        T(spark, sf, "lineitem")
+        .groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 @q(

@@ -34,10 +34,11 @@ HEADLINE = [
     "q14-join-bcast",     # broadcast join
     "q30-rank",           # window
     "q66-geo-salted-join",  # explicit skew salting path
-    "q72-dedup-minhash-lsh",  # MinHash+LSH dedup
     "q75-ann-topk",       # embedding similarity search
-    "q60-img-roundtrip",  # image payload decode + invariant
     "q90-stream-tumble",  # windowed agg (batch mode)
+    "q60-img-roundtrip",  # image payload decode + invariant
+    "q72-dedup-minhash-lsh",  # MinHash+LSH dedup (heaviest last: its md5/GC
+                              # load otherwise inflates whatever follows)
 ]
 
 

@@ -1035,6 +1035,30 @@ def q68(spark, sf):
     return spatial.overlay_join(a, b, cell_size=250.0, round_to=2)
 
 
+@q(
+    "q82-geo-intersects-ri",
+    "WITH r AS (" + oracles.RECT_SELECT + "), "
+    "d AS (SELECT rid, MIN(rx0) AS rx0, MIN(ry0) AS ry0, MIN(rw) AS rw, "
+    "MIN(rh) AS rh FROM r GROUP BY rid), "
+    "a AS (SELECT * FROM d WHERE rid % 23 = 0), "
+    "b AS (SELECT * FROM d WHERE rid % 29 = 0) "
+    "SELECT a.rid AS id_l, b.rid AS id_r FROM a, b "
+    "WHERE a.rx0 < b.rx0 + b.rw AND a.rx0 + a.rw > b.rx0 "
+    "AND a.ry0 < b.ry0 + b.rh AND a.ry0 + a.rh > b.ry0 "
+    "AND LEAST(a.rx0 + a.rw, b.rx0 + b.rw) - GREATEST(a.rx0, b.rx0) > 0 "
+    "AND LEAST(a.ry0 + a.rh, b.ry0 + b.rh) - GREATEST(a.ry0, b.ry0) > 0",
+)
+def q82(spark, sf):
+    """Boolean intersects join with Raster-Intervals-style pruning
+    (PAPERS.md, SIGMOD 2023): sub-grid occupancy/full bitmasks decide most
+    pairs with native bitwise ops; the exact clip kernel only sees ambiguous
+    cells. Oracle is closed-form rect-intersects."""
+    a = _rect_features(spark, sf, 23)
+    b = _rect_features(spark, sf, 29)
+    res = spatial.intersects_join_ri(a, b, cell_size=250.0, sub=4)
+    return res.select("id_l", "id_r")
+
+
 @q("q57-geo-s2cell")  # trig-based cell encode — no SQL mirror → rows-only
 def q57(spark, sf):
     pts = points_df(spark, sf)

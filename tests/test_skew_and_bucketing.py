@@ -87,3 +87,41 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS pts_b")
         spark.sql("DROP TABLE IF EXISTS cover_b")
+
+
+def test_ri_intersects_join_general_polygons(spark):
+    """RI join on the REAL fixture polygons (hexagon, L-shape, hole): result
+    must equal the exact kernel's pairwise intersects verdicts, and most
+    positive decisions should come from the native bitmask path."""
+    from lagespark import fixtures
+    from lagespark.kernels import geom
+
+    gf = spark.createDataFrame(fixtures.gruenflaeche_pdf())
+    all_polys = spark.createDataFrame(
+        fixtures.baufeld_pdf().assign(construction_value=None)[
+            ["feature_id", "rings", "xmin", "ymin", "xmax", "ymax", "wkt"]
+        ]._append(
+            fixtures.biotope_pdf()[
+                ["feature_id", "rings", "xmin", "ymin", "xmax", "ymax", "wkt"]
+            ]
+        )
+    )
+    got = spatial.intersects_join_ri(gf, all_polys, cell_size=250.0).toPandas()
+    pairs = {(r.id_l, r.id_r) for r in got.itertuples()}
+
+    def np_rings(row):
+        return [
+            np.array([[p["x"], p["y"]] for p in ring]) for ring in row["rings"]
+        ]
+
+    want = set()
+    import pandas as pd
+
+    others = pd.concat([fixtures.baufeld_pdf(), fixtures.biotope_pdf()])
+    for _, g in fixtures.gruenflaeche_pdf().iterrows():
+        for _, o in others.iterrows():
+            if geom.intersection_area(np_rings(g), np_rings(o)) > 1e-9:
+                want.add((g["feature_id"], o["feature_id"]))
+    assert pairs == want, (pairs - want, want - pairs)
+    # the bitmask path must actually decide pairs (pruning effectiveness)
+    assert (got.method == "ri").any()

@@ -48,6 +48,24 @@ def q92(spark, sf):
 
 
 @q(
+    "q94-stream-stream-join",
+    "WITH c AS (SELECT event_id AS click_id, user_id, ts AS c_ts FROM events "
+    "WHERE event_type = 'click'), "
+    "s AS (SELECT event_id AS signup_id, user_id, ts AS s_ts FROM events "
+    "WHERE event_type = 'signup') "
+    "SELECT c.click_id, s.signup_id, c.user_id, "
+    "CAST(epoch_us(c.c_ts) AS BIGINT) AS click_us, "
+    "CAST(epoch_us(s.s_ts) AS BIGINT) AS signup_us "
+    "FROM c JOIN s ON c.user_id = s.user_id AND s.s_ts <= c.c_ts "
+    "AND s.s_ts >= c.c_ts - INTERVAL 30 MINUTES",
+)
+def q94(spark, sf):
+    """Stream-stream interval join in batch mode (streaming execution with
+    watermarks on both sides is tested in tests/test_streaming.py)."""
+    return ops.clicks_after_signup(T(spark, sf, "events"))
+
+
+@q(
     "q93-stream-geo",
     "SELECT zone, event_type, COUNT(*) AS n FROM (SELECT event_type, "
     + oracles.zone_case_sql(

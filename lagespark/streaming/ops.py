@@ -110,6 +110,51 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+# -- stream-stream interval join ----------------------------------------------
+
+
+def clicks_after_signup(
+    events: DataFrame, within: str = "30 minutes", late: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: click events matched to a signup of the
+    same user within `within` BEFORE the click. Both sides watermarked (the
+    state-cleanup requirement for stream-stream joins); the time-range
+    predicate bounds buffered state."""
+    base = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", late)
+    )
+    signups = (
+        base.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", late)
+    )
+    joined = clicks.join(
+        signups,
+        (F.col("c_user") == F.col("s_user"))
+        & (F.col("s_ts") <= F.col("c_ts"))
+        & (F.col("s_ts") >= F.col("c_ts") - F.expr(f"INTERVAL {within}")),
+        "inner",
+    )
+    return joined.select(
+        "click_id",
+        "signup_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_micros("c_ts").alias("click_us"),
+        F.unix_micros("s_ts").alias("signup_us"),
+    )
+
+
 # -- stream-static spatial join (s06) -----------------------------------------
 
 

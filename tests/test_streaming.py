@@ -204,3 +204,28 @@ def test_sliding_batch_equivalence(spark, tmpdir):
     g = got.sort_values(["win_start_us", "n"]).reset_index(drop=True)
     w = want.sort_values(["win_start_us", "n"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_stream_stream_interval_join(spark, tmpdir):
+    """s-s join: clicks matched to same-user signups within the interval,
+    streaming result == batch result."""
+    src = _events_src(spark, tmpdir)
+    stream = ops.read_events_stream(spark, src)
+    name = "ss" + uuid.uuid4().hex[:8]
+    q = (
+        ops.clicks_after_signup(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ss_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    want = ops.clicks_after_signup(spark.read.parquet(src)).toPandas()
+    key = ["click_id", "signup_id"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w) and len(g) > 0
+    assert (g[key].values == w[key].values).all()

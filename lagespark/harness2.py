@@ -89,6 +89,29 @@ def q74(spark, sf):
     return similarity.cosine_pairs(e, threshold=0.3)
 
 
+@q(
+    "q82b-dedup-simhash-pairs",
+    "WITH v AS (" + _simhash_oracle() + ") "
+    "SELECT a.doc_id AS a, b.doc_id AS b, "
+    "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
+    "FROM v a, v b WHERE a.doc_id < b.doc_id "
+    "AND bit_count(xor(a.simhash, b.simhash)) <= 2",
+)
+def q82b(spark, sf):
+    """SimHash near-dup pairs: hamming distance over the 16-bit sketch with
+    NATIVE bit_count/xor — no Python anywhere."""
+    sh = q73(spark, sf)
+    a = sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+    pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= 2)
+        .select("a", "b", "hamming")
+    )
+
+
 def _components_oracle() -> str:
     """Connected components of the high-similarity pair graph via a
     recursive transitive-closure CTE (node set is small at harness scale;
@@ -154,6 +177,15 @@ def q76(spark, sf):
     # planes ≈ log2(N / desired_bucket_size); multi-table OR-amplification
     # for recall (~0.65 vs exact q75 on this data — asserted in tests)
     return similarity.lsh_topk(qs, e, k=5, planes=4, tables=6)
+
+
+@q("q76b-ann-ivf")  # approximate (k-means index) → rows-only check
+def q76b(spark, sf):
+    """IVF approximate top-k (second ANN scale path): k-means bucket index,
+    multi-probe queries, exact refine; recall vs q75 asserted in tests."""
+    e = T(spark, sf, "embeddings")
+    qs = e.filter(F.col("vec_id") % 25 == 0)
+    return similarity.ivf_topk(qs, e, k=5, n_centroids=16, n_probe=4)
 
 
 # ===========================================================================

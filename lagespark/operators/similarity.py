@@ -127,6 +127,85 @@ def cosine_pairs(
     )
 
 
+def kmeans_centroids(
+    mat: np.ndarray, k: int, iters: int = 8, seed: int = 42
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on normalized vectors (numpy, driver-side
+    — at 10^12 rows the index trains on a sample, which is standard IVF
+    practice). Empty clusters re-seed deterministically."""
+    m = _normalized(mat.astype(np.float64))
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), size=k, replace=False)]
+    for _ in range(iters):
+        sim = m @ cent.T
+        assign = sim.argmax(axis=1)
+        for c in range(k):
+            sel = m[assign == c]
+            if len(sel):
+                v = sel.mean(axis=0)
+                n = np.linalg.norm(v)
+                cent[c] = v / n if n > 0 else cent[c]
+            else:
+                cent[c] = m[int(rng.integers(0, len(m)))]
+    return cent
+
+
+def ivf_topk(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the second ANN scale path
+    next to sign-LSH: k-means centroids partition the target space; each
+    target lands in ONE bucket (its nearest centroid); each query probes its
+    `n_probe` nearest centroids → bucket equi-join → exact cosine refine +
+    window rank. At scale both sides shuffle once on the bucket id."""
+    sample = targets.select(vec_col).toPandas()
+    cent = kmeans_centroids(np.stack(sample[vec_col].to_numpy()), n_centroids, seed=seed)
+
+    @F.pandas_udf(LongType())
+    def bucket_of(v: pd.Series) -> pd.Series:
+        m = _normalized(np.stack(v.to_numpy()).astype(np.float64))
+        return pd.Series((m @ cent.T).argmax(axis=1).astype(np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def probes_of(v: pd.Series) -> pd.Series:
+        m = _normalized(np.stack(v.to_numpy()).astype(np.float64))
+        sim = m @ cent.T
+        order = np.argsort(-sim, axis=1)[:, :n_probe]
+        return pd.Series(order.astype(np.int64).tolist())
+
+    t = targets.select(
+        F.col(id_col).alias("nn_id"), F.col(vec_col).alias("tv")
+    ).withColumn("bucket", bucket_of(F.col("tv")))
+    q = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .withColumn("bucket", F.explode(probes_of(F.col("qv"))))
+    )
+    cand = q.join(t, "bucket").filter(F.col("qid") != F.col("nn_id"))
+
+    @F.pandas_udf(DoubleType())
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = _normalized(np.stack(a.to_numpy()).astype(np.float64))
+        mb = _normalized(np.stack(b.to_numpy()).astype(np.float64))
+        return pd.Series(np.round(np.sum(ma * mb, axis=1), 6))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nn_id"))
+    return (
+        cand.withColumn("cos", cos(F.col("qv"), F.col("tv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nn_id", "cos", "rank")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     targets: DataFrame,

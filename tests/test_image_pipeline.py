@@ -103,3 +103,17 @@ def test_tile_chain_roundtrip(spark, images):
             assert codecs.psnr(orig[: th * 2, : tw * 2], rebuilt) == float("inf")
         else:
             assert (rebuilt == orig[: th * 2, : tw * 2]).all()
+
+
+def test_ann_ivf_recall(spark):
+    """IVF top-k recall vs exact brute force."""
+    from lagespark.operators import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = e.filter(F.col("vec_id") % 25 == 0)
+    exact = similarity.cosine_topk(qs, e, k=5).toPandas()
+    approx = similarity.ivf_topk(qs, e, k=5, n_centroids=16, n_probe=4).toPandas()
+    ex = {(r.qid, r.nn_id) for r in exact.itertuples()}
+    ap = {(r.qid, r.nn_id) for r in approx.itertuples()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"

@@ -1059,6 +1059,18 @@ def q82(spark, sf):
     return res.select("id_l", "id_r")
 
 
+@q("q83-geo-pip-s2", _pip_oracle())
+def q83(spark, sf):
+    """PIP join keyed by the S2-family sphere index (the BASELINE.json:6
+    'H3 res-9/S2 cells' join key): identical output contract to q51 —
+    the same closed-form oracle checks both index paths."""
+    pts = points_df(spark, sf).withColumn(
+        "lon", F.col("x") / fixtures.M_PER_DEG + fixtures.LON0
+    ).withColumn("lat", F.col("y") / fixtures.M_PER_DEG + fixtures.LAT0)
+    res = spatial.pip_join_s2(pts, _gf_featureset(), level=15)
+    return res.select("pid", "feature_id")
+
+
 @q("q57-geo-s2cell")  # trig-based cell encode — no SQL mirror → rows-only
 def q57(spark, sf):
     pts = points_df(spark, sf)

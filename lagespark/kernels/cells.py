@@ -225,6 +225,27 @@ def s2_cell_center(cell: np.ndarray):
     return lat, lon
 
 
+def s2_cover_bbox(
+    lat_min: float, lon_min: float, lat_max: float, lon_max: float, level: int = 15
+) -> np.ndarray:
+    """Conservative S2 cell cover of a small geographic bbox: the ij-range
+    spanned by the four corners on their (shared) face, padded by one cell.
+    Valid for region-scale bboxes in a face interior (the engine's
+    deployment regime — see s2_disk_cells for the cross-face caveat)."""
+    lats = np.array([lat_min, lat_min, lat_max, lat_max])
+    lons = np.array([lon_min, lon_max, lon_min, lon_max])
+    c = s2_encode(lats, lons, level)
+    face, i, j, _ = s2_decode_ij(c)
+    if len(set(face.tolist())) != 1:
+        raise ValueError("bbox spans multiple S2 faces — split it upstream")
+    i0, i1 = int(i.min()) - 1, int(i.max()) + 1
+    j0, j1 = int(j.min()) - 1, int(j.max()) + 1
+    ii, jj = np.meshgrid(np.arange(i0, i1 + 1), np.arange(j0, j1 + 1))
+    return s2_from_ij(
+        np.full(ii.size, int(face[0]), dtype=np.int64), ii.ravel(), jj.ravel(), level
+    )
+
+
 def s2_disk_cells(cell: np.ndarray, k: int) -> np.ndarray:
     """(N, (2k+1)^2) face-local ij-neighborhood, clamped at face edges.
 

@@ -172,6 +172,63 @@ def pip_join(
     return cand.filter(inside(F.col(x), F.col(y), F.col("feature_id"))).drop("cell")
 
 
+def s2_feature_cover_df(
+    spark: SparkSession, feats: FeatureSet, level: int = 15
+) -> DataFrame:
+    """(feature_id, cell_s2) cover via the S2 index: planar bboxes go through
+    the engine CRS affine to lat/lon, then to a conservative ij-range cover
+    (kernels.cells.s2_cover_bbox)."""
+    from lagespark import fixtures
+
+    out_f: list[str] = []
+    out_c: list[int] = []
+    for fid in feats.ids:
+        xmin, ymin, xmax, ymax = feats.bbox[fid]
+        lon0, lat0 = fixtures.xy_to_lonlat(np.array([xmin]), np.array([ymin]))
+        lon1, lat1 = fixtures.xy_to_lonlat(np.array([xmax]), np.array([ymax]))
+        cc = cells.s2_cover_bbox(
+            float(lat0[0]), float(lon0[0]), float(lat1[0]), float(lon1[0]), level
+        )
+        out_f.extend([fid] * len(cc))
+        out_c.extend(int(c) for c in cc)
+    return spark.createDataFrame(
+        pd.DataFrame({"feature_id": out_f, "cell_s2": pd.array(out_c, dtype="int64")})
+    )
+
+
+def pip_join_s2(
+    points: DataFrame,
+    feats: FeatureSet,
+    x: str = "x",
+    y: str = "y",
+    lat: str = "lat",
+    lon: str = "lon",
+    level: int = 15,
+) -> DataFrame:
+    """pip_join with the S2-family sphere index as THE join key
+    (BASELINE.json:6: records keyed by H3-res-9/S2 cells): points get their
+    level-15 cell from (lat, lon) via the vectorized encoder; polygon covers
+    come from the same index; exact ray-cast filter in planar meters."""
+    spark = points.sparkSession
+    pts = with_s2_cell(points, lat, lon, level)
+    cover = F.broadcast(s2_feature_cover_df(spark, feats, level))
+    cand = pts.join(cover, "cell_s2")
+
+    rings = feats.rings
+
+    @F.pandas_udf(BooleanType())
+    def inside(xs: pd.Series, ys: pd.Series, fid: pd.Series) -> pd.Series:
+        xv = xs.to_numpy(dtype=np.float64)
+        yv = ys.to_numpy(dtype=np.float64)
+        res = np.zeros(len(xv), dtype=bool)
+        for f, idx in pd.Series(range(len(fid))).groupby(fid.to_numpy()):
+            ii = idx.to_numpy()
+            res[ii] = geom.point_in_polygon(xv[ii], yv[ii], rings[f])
+        return pd.Series(res)
+
+    return cand.filter(inside(F.col(x), F.col(y), F.col("feature_id"))).drop("cell_s2")
+
+
 # ---------------------------------------------------------------------------
 # distance / Lagefaktor zone (geo-buffer applied to points)
 # ---------------------------------------------------------------------------

@@ -125,3 +125,24 @@ def test_ri_intersects_join_general_polygons(spark):
     assert pairs == want, (pairs - want, want - pairs)
     # the bitmask path must actually decide pairs (pruning effectiveness)
     assert (got.method == "ri").any()
+
+
+def test_s2_pip_join_equals_grid_pip_join(spark):
+    """The S2-indexed PIP join (sphere cells as the join key) must return
+    exactly the rows the grid-indexed join returns — side-consistent
+    conservative covers are the correctness contract for any index."""
+    import pandas as pd
+
+    from lagespark import fixtures
+
+    x, y = fixtures.image_points(20_000)
+    lon, lat = fixtures.xy_to_lonlat(x, y)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": np.arange(20_000), "x": x, "y": y, "lon": lon, "lat": lat})
+    )
+    gf = spatial.FeatureSet(fixtures.gruenflaeche_pdf())
+    a = spatial.pip_join(pts, gf).select("pid", "feature_id").toPandas()
+    b = spatial.pip_join_s2(pts, gf).select("pid", "feature_id").toPandas()
+    sa = {(r.pid, r.feature_id) for r in a.itertuples()}
+    sb = {(r.pid, r.feature_id) for r in b.itertuples()}
+    assert sa == sb and len(sa) > 0

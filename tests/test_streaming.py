@@ -229,3 +229,40 @@ def test_stream_stream_interval_join(spark, tmpdir):
     w = want.sort_values(key).reset_index(drop=True)
     assert len(g) == len(w) and len(g) > 0
     assert (g[key].values == w[key].values).all()
+
+
+def test_checkpointed_stream_sink_idempotent(spark, tmpdir):
+    """foreachBatch sink: restarting from the same checkpoint does not
+    duplicate rows; late-appended files are picked up as new batches."""
+    from lagespark.streaming import sink as ss
+
+    src = f"{tmpdir}/cs_src"
+    out = f"{tmpdir}/cs_out"
+    ck = f"{tmpdir}/cs_ck"
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    _mk_events(spark, [(i, t0 + pd.Timedelta(minutes=i), i % 3, "a", 1.0, "{}")
+                       for i in range(30)]).write.parquet(src, mode="overwrite")
+    stream = ops.read_events_stream(spark, src)
+    zoned = ops.zone_of_events(stream)
+    q = ss.write_stream_checkpointed(zoned, out, ck, "zone")
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    man1 = ss.stream_manifest(out)
+    assert n1 == 30 and man1["total_rows"] == 30
+
+    # restart with the SAME checkpoint and no new data → nothing duplicated
+    q2 = ss.write_stream_checkpointed(
+        ops.zone_of_events(ops.read_events_stream(spark, src)), out, ck, "zone"
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 30
+
+    # new data arrives → new batches only
+    _mk_events(spark, [(100 + i, t0 + pd.Timedelta(hours=1, minutes=i), 1, "a", 1.0, "{}")
+                       for i in range(5)]).write.parquet(src, mode="append")
+    q3 = ss.write_stream_checkpointed(
+        ops.zone_of_events(ops.read_events_stream(spark, src)), out, ck, "zone"
+    )
+    q3.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 35
+    assert ss.stream_manifest(out)["total_rows"] == 35

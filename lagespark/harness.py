@@ -1071,6 +1071,23 @@ def q83(spark, sf):
     return res.select("pid", "feature_id")
 
 
+@q(
+    "q84-geo-range-rollup",
+    "SELECT CAST(COUNT_IF(x >= 1800.0 AND x <= 4200.0 AND y >= 1300.0 AND "
+    "y <= 3700.0) AS BIGINT) AS n_total FROM (" + oracles.POINTS_SELECT + ")",
+)
+def q84(spark, sf):
+    """Hypertable-style spatial rollup: per-cell materialized counts answer
+    the interior of a range query; only boundary cells re-scan base points.
+    Result must be EXACT — oracle is the direct count."""
+    pts = points_df(spark, sf)
+    roll = spatial.cell_rollup(pts, cell_size=250.0)
+    res = spatial.range_count_pruned(
+        pts, roll, 1800.0, 1300.0, 4200.0, 3700.0, cell_size=250.0
+    )
+    return res.select("n_total")
+
+
 @q("q57-geo-s2cell")  # trig-based cell encode — no SQL mirror → rows-only
 def q57(spark, sf):
     pts = points_df(spark, sf)

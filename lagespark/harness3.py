@@ -119,6 +119,16 @@ def q69(spark, sf):
     )
 
 
+@q("q85-img-phash-dedup")
+def q85(spark, sf):
+    """Image near-dup detection by pHash banding (injected duplicates as
+    ground truth — exactness asserted in tests; the pair path after hashing
+    is pure Catalyst bit arithmetic)."""
+    image_ops.set_image_batching(spark)
+    imgs = image_ops.generate_with_neardups(spark, min(_n_images(sf), 2000))
+    return image_ops.phash_neardup_pairs(imgs, max_hamming=6)
+
+
 @q("q64-multimodal-stub")
 def q64(spark, sf):
     """Audio/video metadata plumbing with STUBBED codec (deterministic fake

@@ -228,6 +228,89 @@ def resize_pool2(images: DataFrame) -> DataFrame:
     )
 
 
+def generate_with_neardups(
+    spark: SparkSession, n: int, partitions: int = 32, dup_every: int = 10
+) -> DataFrame:
+    """Image table with INJECTED near-duplicates: every dup_every-th image
+    gets a twin (new id, qdct re-encode of the decoded pixels — visually
+    identical, byte-different). The ground truth for pHash dedup tests."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            base = fixtures.images_pdf_for_indices(pdf["id"].to_numpy())
+            dups = []
+            for r in base.itertuples():
+                i = int(r.image_id.replace("img", ""))
+                if i % dup_every == 0:
+                    px = codecs.decode_image(r.bytes, r.fmt, r.w, r.h)
+                    dups.append(
+                        {
+                            "image_id": f"dup{i:08d}",
+                            "bytes": codecs.encode_image(px, "qdct"),
+                            "w": r.w,
+                            "h": r.h,
+                            "fmt": "qdct",
+                            "caption": r.caption,
+                            "phash": codecs.phash64(
+                                codecs.decode_image(
+                                    codecs.encode_image(px, "qdct"), "qdct"
+                                )
+                            ),
+                            "x": r.x,
+                            "y": r.y,
+                            "lon": r.lon,
+                            "lat": r.lat,
+                        }
+                    )
+            out = pd.concat([base, pd.DataFrame(dups)]) if dups else base
+            yield out
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, IMAGES_SCHEMA)
+
+
+def phash_neardup_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """pHash near-duplicate pairs: band the 64-bit hash into 4×16-bit keys
+    (pigeonhole: any pair within hamming ≤ 3 shares a band; our injected
+    dups are ≤ 2), bucket-join candidates, refine with native
+    bit_count(xor) ≤ max_hamming. Everything after the hash is pure
+    Catalyst — no Python in the pair path."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("phash"), 16 * b)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("key"),
+            )
+            for b in range(4)
+        ]
+    )
+    keyed = images.select("image_id", "phash", F.explode(bands).alias("bk")).select(
+        "image_id", "phash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    buckets = (
+        keyed.groupBy("band", "key")
+        .agg(F.collect_list(F.struct("image_id", "phash")).alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    pairs = (
+        buckets.select(F.explode("members").alias("a"), F.col("members"))
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a.image_id") < F.col("b.image_id"))
+    )
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.image_id").alias("a"),
+            F.col("b.image_id").alias("b"),
+            "hamming",
+        )
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal stubs (audio/video) — plumbing real, codec faked
 # ---------------------------------------------------------------------------

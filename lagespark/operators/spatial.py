@@ -537,6 +537,87 @@ def overlay_join(
 
 
 # ---------------------------------------------------------------------------
+# cell rollup + pruned range aggregation (hypertable-style spatial rollup)
+# ---------------------------------------------------------------------------
+
+
+def cell_rollup(
+    points: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    cell_size: float = 250.0,
+    aggs: dict | None = None,
+) -> DataFrame:
+    """Materialized per-cell aggregate of a point table (the spatial analog
+    of a time-bucket rollup): one groupBy pass, reusable by every subsequent
+    range query. Default aggregate: count."""
+    pts = with_grid_cell(points, x, y, cell_size)
+    agg_exprs = aggs or {"n": F.count(F.lit(1))}
+    return pts.groupBy("cell").agg(*[v.alias(k) for k, v in agg_exprs.items()])
+
+
+def range_count_pruned(
+    points: DataFrame,
+    rollup: DataFrame,
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+    x: str = "x",
+    y: str = "y",
+    cell_size: float = 250.0,
+) -> DataFrame:
+    """EXACT count of points in [xmin,xmax]×[ymin,ymax] answered mostly from
+    the rollup: interior cells (fully inside the rect) contribute their
+    pre-aggregated counts; only BOUNDARY cells re-scan base points (with the
+    cell-id predicate pushed into the scan → partition/row-group pruning).
+    Returns a 1-row DataFrame (n_interior, n_boundary, n_total)."""
+    i0 = int(np.floor(xmin / cell_size))
+    i1 = int(np.floor(xmax / cell_size))
+    j0 = int(np.floor(ymin / cell_size))
+    j1 = int(np.floor(ymax / cell_size))
+
+    def cell_of(i: int, j: int) -> int:
+        return (i + cells.GRID_OFF) * (1 << cells.GRID_SHIFT) + (j + cells.GRID_OFF)
+
+    interior = [
+        cell_of(i, j)
+        for i in range(i0 + 1, i1)
+        for j in range(j0 + 1, j1)
+    ]
+    boundary = [
+        cell_of(i, j)
+        for i in range(i0, i1 + 1)
+        for j in range(j0, j1 + 1)
+        if not (i0 < i < i1 and j0 < j < j1)
+    ]
+    spark = points.sparkSession
+    n_int = (
+        rollup.filter(F.col("cell").isin(interior)).agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("v")
+        )
+        if interior
+        else spark.range(1).agg(F.lit(0).cast("long").alias("v"))
+    )
+    pts = with_grid_cell(points, x, y, cell_size)
+    n_bnd = (
+        pts.filter(F.col("cell").isin(boundary))
+        .filter(
+            (F.col(x) >= xmin) & (F.col(x) <= xmax)
+            & (F.col(y) >= ymin) & (F.col(y) <= ymax)
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    a = n_int.select(F.col("v").alias("n_interior"))
+    b = n_bnd.select(F.col("v").alias("n_boundary"))
+    return a.crossJoin(b).select(
+        "n_interior",
+        "n_boundary",
+        (F.col("n_interior") + F.col("n_boundary")).alias("n_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Raster-Intervals-style intersects join (geo-overlay boolean predicate)
 # ---------------------------------------------------------------------------
 

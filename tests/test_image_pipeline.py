@@ -117,3 +117,17 @@ def test_ann_ivf_recall(spark):
     ap = {(r.qid, r.nn_id) for r in approx.itertuples()}
     recall = len(ex & ap) / len(ex)
     assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+
+
+def test_phash_neardup_detection(spark):
+    """Every injected duplicate is found; no false pairs at hamming <= 6."""
+    image_ops.set_image_batching(spark)
+    imgs = image_ops.generate_with_neardups(spark, 300, partitions=4, dup_every=10)
+    pairs = image_ops.phash_neardup_pairs(imgs, max_hamming=6).toPandas()
+    got = {(r.a, r.b) for r in pairs.itertuples()}
+    want = {
+        (f"dup{i:08d}", f"img{i:08d}") for i in range(0, 300, 10)
+    }
+    assert want <= got, want - got
+    extras = got - want
+    assert not extras, f"false near-dup pairs: {extras}"

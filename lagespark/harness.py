@@ -1088,6 +1088,39 @@ def q84(spark, sf):
     return res.select("n_total")
 
 
+def _within_oracle(d: float = 150.0) -> str:
+    from lagespark import fixtures as fx
+
+    dists = []
+    for _, row in fx.gruenflaeche_pdf().iterrows():
+        rings = [np.array([[p["x"], p["y"]] for p in ring]) for ring in row["rings"]]
+        dists.append(oracles.polygon_dist_sql("x", "y", rings[0], [rings[0]]))
+    return (
+        "SELECT pid, ROUND(LEAST(" + ", ".join(dists) + "), 6) AS dist "
+        "FROM (" + oracles.POINTS_SELECT + ") "
+        "WHERE LEAST(" + ", ".join(dists) + f") < {d!r}"
+    )
+
+
+@q("q86-geo-within-dist", _within_oracle(150.0))
+def q86(spark, sf):
+    """Within-distance-of-feature predicate (the buffer-band filter applied
+    to an arbitrary radius): exact point-to-footprint distances, vectorized
+    kernel; closed-form segment-distance oracle."""
+    pts = points_df(spark, sf)
+    gf = _gf_featureset()
+    # footprint distance (outer rings), matching kNN semantics
+    outer_only = spatial.FeatureSet(
+        fixtures.gruenflaeche_pdf().assign(
+            rings=lambda df: df["rings"].map(lambda rr: [rr[0]])
+        )
+    )
+    res = spatial.with_min_dist(pts, outer_only)
+    return res.filter(F.col("dist") < 150.0).select(
+        "pid", F.round("dist", 6).alias("dist")
+    )
+
+
 @q("q57-geo-s2cell")  # trig-based cell encode — no SQL mirror → rows-only
 def q57(spark, sf):
     pts = points_df(spark, sf)

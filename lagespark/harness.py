@@ -424,6 +424,23 @@ def q27(spark, sf):
     )
 
 
+@q(
+    "q29-pivot",
+    "SELECT l_linestatus, "
+    "ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A, "
+    "ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N, "
+    "ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R "
+    "FROM lineitem GROUP BY l_linestatus",
+)
+def q29(spark, sf):
+    li = T(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
 # ===========================================================================
 # §2.7 window / sort / set ops
 # ===========================================================================
@@ -688,6 +705,25 @@ def q44(spark, sf):
     e = T(spark, sf, "events")
     return e.select(
         "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+@q(
+    "q46-scalar-date2",
+    "SELECT o_orderkey, CAST(last_day(o_orderdate) AS VARCHAR) AS month_end, "
+    "CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS BIGINT) "
+    "AS days_to_2025, CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS dow "
+    "FROM orders",
+)
+def q46(spark, sf):
+    o = T(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.datediff(F.lit("2025-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_2025"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),  # 0=Sunday both
     )
 
 

@@ -812,6 +812,28 @@ def intersects_join_ri(
 # ---------------------------------------------------------------------------
 
 
+def auto_salt_factor(
+    fact: DataFrame,
+    cell_col: str = "cell",
+    target_rows_per_partition: int = 500_000,
+    max_salt: int = 64,
+) -> int:
+    """Adaptive salting factor from a cheap stats pass (SURVEY.md §2.3
+    geo-salt: 'S adaptive from groupBy(cell).count() stats'): S = hottest
+    cell count / target rows per shuffle partition, clamped to [1, max_salt].
+    Runs one partial-aggregated count over the fact table — at 100 TB that
+    is a single cheap map-side-combined pass (or run it on a sample)."""
+    hot = (
+        fact.groupBy(cell_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m"))
+        .first()["m"]
+    )
+    if not hot:
+        return 1
+    return max(1, min(max_salt, int(np.ceil(hot / target_rows_per_partition))))
+
+
 def salted_cell_join(
     fact: DataFrame,
     dim: DataFrame,

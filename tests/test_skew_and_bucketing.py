@@ -146,3 +146,30 @@ def test_s2_pip_join_equals_grid_pip_join(spark):
     sa = {(r.pid, r.feature_id) for r in a.itertuples()}
     sb = {(r.pid, r.feature_id) for r in b.itertuples()}
     assert sa == sb and len(sa) > 0
+
+
+def test_auto_salt_factor(spark):
+    """Adaptive S from the hot-cell stats pass: skewed data demands salt,
+    uniform data doesn't."""
+    import pandas as pd
+
+    x, y = fixtures.image_points(30_000)
+    skewed = spatial.with_grid_cell(
+        spark.createDataFrame(pd.DataFrame({"pid": np.arange(30_000), "x": x, "y": y}))
+    )
+    s = spatial.auto_salt_factor(skewed, target_rows_per_partition=500)
+    assert s > 1, "hot urban cells must trigger salting"
+    rng = np.random.default_rng(0)
+    uniform = spatial.with_grid_cell(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "pid": np.arange(30_000),
+                    "x": rng.uniform(0, 10_000, 30_000),
+                    "y": rng.uniform(0, 10_000, 30_000),
+                }
+            )
+        )
+    )
+    u = spatial.auto_salt_factor(uniform, target_rows_per_partition=500)
+    assert u <= s

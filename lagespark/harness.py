@@ -727,6 +727,37 @@ def q46(spark, sf):
     )
 
 
+@q(
+    "q47-scalar-map",
+    # build a map per order {status: priority-length, 'k': key%7} and read it
+    "SELECT o_orderkey, "
+    "list_extract(map_extract(map([o_orderstatus, 'k'], "
+    "[length(o_orderpriority), CAST(o_orderkey % 7 AS INT)]), o_orderstatus), 1) "
+    "AS status_val, "
+    "list_extract(map_extract(map([o_orderstatus, 'k'], "
+    "[length(o_orderpriority), CAST(o_orderkey % 7 AS INT)]), 'k'), 1) AS k_val, "
+    "CAST(cardinality(map([o_orderstatus, 'k'], "
+    "[length(o_orderpriority), CAST(o_orderkey % 7 AS INT)])) AS INT) AS m_size "
+    "FROM orders",
+)
+def q47(spark, sf):
+    """Map functions (SURVEY §2.8): map_from_arrays / element_at / size."""
+    o = T(spark, sf, "orders")
+    m = F.map_from_arrays(
+        F.array(F.col("o_orderstatus"), F.lit("k")),
+        F.array(
+            F.length("o_orderpriority"),
+            (F.col("o_orderkey") % 7).cast("int"),
+        ),
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, F.col("o_orderstatus")).alias("status_val"),
+        F.element_at(m, F.lit("k")).alias("k_val"),
+        F.size(m).alias("m_size"),
+    )
+
+
 # ===========================================================================
 # §2.3 geo operators (synthesized points; closed-form SQL oracles)
 # ===========================================================================

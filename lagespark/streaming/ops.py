@@ -110,6 +110,53 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def session_totals_with_timeout(events: DataFrame, gap_ms: int = 300_000) -> DataFrame:
+    """Custom stateful sessionization with EVENT-TIME TIMEOUT
+    (applyInPandasWithState + EventTimeTimeout): per-user running (n, total,
+    last_ts); when the watermark passes last_ts + gap, the session CLOSES and
+    emits a final row (closed=true). Demonstrates the full state lifecycle —
+    update, timeout registration, expiry emission."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, total, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n": [n],
+                    "total": [round(total, 2)],
+                    "closed": [True],
+                }
+            )
+            return
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last_us = max(last_us, int(pdf["ts"].max().value // 1000))
+        state.update((n, total, last_us))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "total": [round(total, 2)], "closed": [False]}
+        )
+
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id bigint, n bigint, total double, closed boolean",
+            stateStructType="n bigint, total double, last_us bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 # -- stream-stream interval join ----------------------------------------------
 
 

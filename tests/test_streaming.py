@@ -266,3 +266,41 @@ def test_checkpointed_stream_sink_idempotent(spark, tmpdir):
     q3.awaitTermination(120)
     assert spark.read.parquet(out).count() == 35
     assert ss.stream_manifest(out)["total_rows"] == 35
+
+
+def test_stateful_session_event_time_timeout(spark, tmpdir):
+    """s07 extended: a session CLOSES (timeout emission) when the watermark
+    passes last_ts + gap."""
+    src = f"{tmpdir}/to_src"
+    ck = f"{tmpdir}/to_ck"
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    _mk_events(spark, [
+        (1, t0, 7, "a", 2.0, "{}"),
+        (2, t0 + pd.Timedelta(minutes=1), 7, "a", 3.0, "{}"),
+    ]).write.parquet(src, mode="overwrite")
+    name = "to" + uuid.uuid4().hex[:8]
+    q = (
+        ops.session_totals_with_timeout(ops.read_events_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        open1 = spark.sql(f"SELECT * FROM {name}").toPandas()
+        assert not open1.closed.any()
+        # a much-later event from ANOTHER user advances the watermark far
+        # past user 7's last_ts + 5min gap -> session 7 must close
+        _mk_events(spark, [
+            (3, t0 + pd.Timedelta(hours=2), 9, "a", 1.0, "{}"),
+        ]).write.parquet(src, mode="append")
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    closed7 = got[(got.user_id == 7) & (got.closed)]
+    assert len(closed7) == 1, got.to_string()
+    assert closed7.n.iloc[0] == 2 and closed7.total.iloc[0] == pytest.approx(5.0)

@@ -304,3 +304,39 @@ def test_stateful_session_event_time_timeout(spark, tmpdir):
     closed7 = got[(got.user_id == 7) & (got.closed)]
     assert len(closed7) == 1, got.to_string()
     assert closed7.n.iloc[0] == 2 and closed7.total.iloc[0] == pytest.approx(5.0)
+
+
+def test_rate_source_to_events_shape(spark, tmpdir):
+    """src-stream: the built-in rate source cast to the events shape
+    (SURVEY §2.1) — synthetic infinite ingest for soak tests."""
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 100)
+        .load()
+        .selectExpr(
+            "value AS event_id",
+            "CAST(timestamp AS TIMESTAMP_NTZ) AS ts",
+            "value % 50 AS user_id",
+            "CASE WHEN value % 2 = 0 THEN 'click' ELSE 'view' END AS event_type",
+            "CAST(value % 100 AS DOUBLE) AS value",
+            "'{}' AS props",
+        )
+    )
+    name = "r" + uuid.uuid4().hex[:8]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        for _ in range(40):
+            n = spark.sql(f"SELECT COUNT(*) AS n FROM {name}").first()["n"]
+            if n > 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    assert len(got) > 0
+    assert set(got.columns) == {"event_id", "ts", "user_id", "event_type", "value", "props"}

@@ -301,6 +301,47 @@ def q17(spark, sf):
     return res.select("event_id", F.col("signup_us").cast("long").alias("signup_us"))
 
 
+@q(
+    "q19-multi-join",
+    "SELECT o_orderkey, c_mktsegment, "
+    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue, "
+    "COUNT(*) AS n_lines FROM customer "
+    "JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE o_totalprice > 150000 GROUP BY o_orderkey, c_mktsegment",
+)
+def q19(spark, sf):
+    """TPC-H Q3-shape three-table join with selective filter + agg."""
+    c, o, li = T(spark, sf, "customer"), T(spark, sf, "orders"), T(spark, sf, "lineitem")
+    return (
+        c.join(o.filter(F.col("o_totalprice") > 150000), c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "c_mktsegment")
+        .agg(
+            # 4 dp: the exact sum HAS 4 decimals (2-dp price x 2-dp discount),
+            # so rounding at that precision recovers it exactly in both
+            # engines; 2 dp would sit on .005 knife-edges
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "q48-subquery-correlated",
+    "SELECT l_orderkey, l_linenumber FROM lineitem l1 WHERE l_quantity > "
+    "(SELECT AVG(l_quantity) * 1.5 FROM lineitem l2 "
+    "WHERE l2.l_orderkey = l1.l_orderkey)",
+)
+def q48(spark, sf):
+    """Correlated scalar subquery through the SQL front door — Catalyst
+    decorrelates it into a join; DuckDB runs the identical text."""
+    T(spark, sf, "lineitem").createOrReplaceTempView("lineitem_q48")
+    return spark.sql(ORACLES["q48-subquery-correlated"].replace("lineitem", "lineitem_q48"))
+
+
 @q("q18-cross", "SELECT r_name, n_name FROM region CROSS JOIN nation")
 def q18(spark, sf):
     return T(spark, sf, "region").crossJoin(T(spark, sf, "nation")).select(

@@ -358,7 +358,7 @@ def q18(spark, sf):
     "q20-agg-basic",
     "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, "
     "ROUND(SUM(l_extendedprice), 2) AS sum_base, "
-    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, "
+    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc, "
     "ROUND(AVG(l_quantity), 4) AS avg_qty, COUNT(*) AS n "
     "FROM lineitem GROUP BY l_returnflag, l_linestatus",
 )
@@ -367,7 +367,7 @@ def q20(spark, sf):
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
             "sum_disc"
         ),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),

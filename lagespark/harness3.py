@@ -119,6 +119,14 @@ def q69(spark, sf):
     )
 
 
+@q("q87-img-arrow-stats")
+def q87(spark, sf):
+    """mapInArrow payload statistics (raw RecordBatches, no pandas)."""
+    image_ops.set_image_batching(spark)
+    imgs = image_ops.generate_images(spark, min(_n_images(sf), 2000))
+    return image_ops.payload_size_stats_arrow(imgs)
+
+
 @q("q85-img-phash-dedup")
 def q85(spark, sf):
     """Image near-dup detection by pHash banding (injected duplicates as

@@ -66,6 +66,38 @@ def q94(spark, sf):
 
 
 @q(
+    "q95-spatiotemporal-rollup",
+    "SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS "
+    "hour_us, " + oracles.zone_case_sql(
+        "((event_id * 9973) % 100000) / 10.0 + 0.05",
+        "((event_id * 7919) % 100000) / 10.0 + 0.05",
+    )
+    + " AS zone, COUNT(*) AS n, ROUND(SUM(value), 2) AS total "
+    "FROM events GROUP BY hour_us, zone",
+)
+def q95(spark, sf):
+    """Spatiotemporal rollup: Lagefaktor zone × hour bucket — the composite
+    continuous-aggregate shape (cell/zone key + time bucket) a monitoring
+    pipeline materializes incrementally."""
+    from pyspark.sql import functions as F
+
+    z = ops.zone_of_events(
+        T(spark, sf, "events").select("event_id", "ts", "event_type", "value")
+    )
+    e = T(spark, sf, "events").select("event_id", "ts")
+    joined = z.join(e, "event_id")
+    return (
+        joined.groupBy(
+            F.unix_micros(
+                F.date_trunc("hour", F.col("ts").cast("timestamp"))
+            ).alias("hour_us"),
+            "zone",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+@q(
     "q93-stream-geo",
     "SELECT zone, event_type, COUNT(*) AS n FROM (SELECT event_type, "
     + oracles.zone_case_sql(

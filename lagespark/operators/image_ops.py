@@ -228,6 +228,33 @@ def resize_pool2(images: DataFrame) -> DataFrame:
     )
 
 
+def payload_size_stats_arrow(images: DataFrame, bucket: int = 1024) -> DataFrame:
+    """Byte-size histogram via mapInArrow (SURVEY §2.10's Arrow-batch
+    surface): operates on raw pyarrow RecordBatches — zero pandas
+    materialization, the leanest path for binary-heavy columns."""
+    import pyarrow as pa
+
+    def run(batches):
+        for rb in batches:
+            sizes = pa.compute.binary_length(rb.column("bytes"))
+            b = pa.compute.multiply(
+                pa.compute.floor(
+                    pa.compute.divide(pa.compute.cast(sizes, pa.float64()), bucket)
+                ).cast(pa.int64()),
+                bucket,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b, pa.compute.cast(sizes, pa.int64())], ["size_bucket", "nb"]
+            )
+
+    return (
+        images.select("bytes")
+        .mapInArrow(run, "size_bucket long, nb long")
+        .groupBy("size_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("nb").alias("total_bytes"))
+    )
+
+
 def generate_with_neardups(
     spark: SparkSession, n: int, partitions: int = 32, dup_every: int = 10
 ) -> DataFrame:

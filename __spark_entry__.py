@@ -69,7 +69,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         run.__doc__ = fn.__doc__
         return run
 
-    return {name: wrap(fn) for name, fn in reg.QUERIES.items()}
+    # oracle-bearing queries FIRST (registration order preserved within each
+    # group) so a budget-limited correctness sweep spends its time on the
+    # strongest checks; rows-only entries follow
+    names = sorted(reg.QUERIES, key=lambda n: (n not in reg.ORACLES) * 1)
+    return {name: wrap(reg.QUERIES[name]) for name in names}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -37,8 +37,9 @@ HEADLINE = [
     "q75-ann-topk",       # embedding similarity search
     "q90-stream-tumble",  # windowed agg (batch mode)
     "q60-img-roundtrip",  # image payload decode + invariant
-    "q72-dedup-minhash-lsh",  # MinHash+LSH dedup (heaviest last: its md5/GC
-                              # load otherwise inflates whatever follows)
+    "q72b-dedup-minhash-fast",  # PRODUCTION MinHash+LSH (xxhash64 int64 sigs)
+    "q72-dedup-minhash-lsh",  # oracle-portable MinHash+LSH (heaviest last:
+                              # its md5/GC load otherwise inflates followers)
 ]
 
 

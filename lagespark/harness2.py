@@ -52,6 +52,16 @@ def q72(spark, sf):
     return dedup.minhash_pairs(T(spark, sf, "documents"), perms=8, band_rows=2, n=3)
 
 
+@q("q72b-dedup-minhash-fast")  # production path (xxhash64 int64 sigs) → rows-only
+def q72b(spark, sf):
+    """MinHash+LSH on native int64 xxhash64 signatures — the 100 TB path
+    (the md5-hex variant q72 exists for oracle portability). Same plan
+    shape; candidate-set equivalence vs q72 is asserted in tests."""
+    return dedup.minhash_pairs_fast(
+        T(spark, sf, "documents"), perms=8, band_rows=2, n=3
+    )
+
+
 def _simhash_oracle() -> str:
     votes = ", ".join(
         f"{e} AS {a}" for a, e in dedup.simhash_vote_exprs(16, "duckdb")
@@ -98,18 +108,11 @@ def q74(spark, sf):
     "AND bit_count(xor(a.simhash, b.simhash)) <= 2",
 )
 def q82b(spark, sf):
-    """SimHash near-dup pairs: hamming distance over the 16-bit sketch with
-    NATIVE bit_count/xor — no Python anywhere."""
+    """SimHash near-dup pairs via pigeonhole banding (hamming ≤ 2 ⇒ one of 3
+    disjoint chunks equal): equi-join on (band, chunk), refine with NATIVE
+    bit_count/xor — no all-pairs join, no Python anywhere."""
     sh = q73(spark, sf)
-    a = sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
-    b = sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
-    pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        pairs.withColumn("hamming", ham.cast("int"))
-        .filter(F.col("hamming") <= 2)
-        .select("a", "b", "hamming")
-    )
+    return dedup.hamming_pairs(sh, "simhash", id_col="doc_id", bits=16, max_hamming=2)
 
 
 def _components_oracle() -> str:

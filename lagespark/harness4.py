@@ -34,9 +34,11 @@ def q91(spark, sf):
 
 @q(
     "q92-stream-session",
-    # gaps-and-islands session reconstruction (5-minute gap)
+    # gaps-and-islands session reconstruction (5-minute gap). Spark's
+    # session_window is half-open [start, start+gap): a gap EXACTLY equal to
+    # the window breaks the session — so the oracle breaks on >= too
     "WITH o AS (SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER "
-    "(PARTITION BY user_id ORDER BY ts) > INTERVAL 5 MINUTES OR LAG(ts) OVER "
+    "(PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTES OR LAG(ts) OVER "
     "(PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS brk "
     "FROM events), s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id "
     "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM o) "

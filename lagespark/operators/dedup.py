@@ -119,6 +119,55 @@ def minhash_pairs(
     )
 
 
+def minhash_pairs_fast(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    perms: int = 8,
+    band_rows: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """PRODUCTION MinHash+LSH: identical plan shape to minhash_pairs but the
+    signature is native int64 `xxhash64(perm, shingle)` instead of md5-hex
+    SUBSTRINGS — the shuffle carries 8 longs per (doc, shingle) row instead
+    of 32-char strings and the groupBy mins longs JVM-side. The md5 variant
+    exists only for DuckDB-oracle portability; this is the path a 100 TB
+    dedup job runs. Candidate quality is equivalent (both are uniform hash
+    families); the exact sets differ, so correctness is pinned by tests
+    (injected duplicates + recall vs the md5 path), not a SQL oracle."""
+    sh = df.select(F.col(id_col), F.explode(shingle_col(text_col, n)).alias("sh"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(p), F.col("sh"))).alias(f"mh{p}") for p in range(perms)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    bands = perms // band_rows
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    keys = sig.select(F.col(id_col), F.explode(band_keys).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    buckets = (
+        keys.groupBy("band", "band_key")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return (
+        buckets.select(F.explode("ids").alias("a"), F.col("ids"))
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+
+
 def minhash_pairs_sql(
     perms: int = 8, band_rows: int = 2, n: int = 3, source: str = "documents",
     id_col: str = "doc_id", text_col: str = "text",
@@ -171,6 +220,63 @@ def simhash_value_sql(bits: int) -> str:
     return "(" + " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)) + ")"
 
 
+def hamming_pairs(
+    df: DataFrame,
+    sketch_col: str,
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs (a, b, hamming) over an integer sketch WITHOUT an
+    all-pairs join: pigeonhole banding. Split the `bits`-bit sketch into
+    max_hamming+1 disjoint chunks — any pair within hamming ≤ max_hamming
+    must agree on at least one chunk — equi-join on (band, chunk_value),
+    refine with native bit_count(xor). Same shape as
+    image_ops.phash_neardup_pairs; pure Catalyst end-to-end.
+
+    Scale: the shuffle key is (band, chunk) — uniform for hash-like sketches,
+    so buckets stay small and the in-bucket pair expansion is bounded. The
+    collect_list+double-explode avoids a self-join that would recompute the
+    (often expensive) sketch subplan twice."""
+    n_bands = max_hamming + 1
+    base, extra = divmod(bits, n_bands)
+    widths = [base + (1 if b < extra else 0) for b in range(n_bands)]
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col(sketch_col), offsets[b])
+                .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                .alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    keyed = df.select(
+        F.col(id_col), F.col(sketch_col).alias("_sk"), F.explode(bands).alias("bk")
+    ).select(
+        id_col, "_sk", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    buckets = (
+        keyed.groupBy("band", "key")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "_sk")).alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    pairs = (
+        buckets.select(F.explode("members").alias("ma"), F.col("members"))
+        .select("ma", F.explode("members").alias("mb"))
+        .filter(F.col("ma.id") < F.col("mb.id"))
+    )
+    ham = F.bit_count(F.col("ma._sk").bitwiseXOR(F.col("mb._sk")))
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("ma.id").alias("a"), F.col("mb.id").alias("b"), "hamming")
+        .distinct()
+    )
+
+
 def duplicate_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """(a, b) candidate-duplicate pairs → (doc, component) where component is
     the minimum doc id reachable through the pair graph (the canonical
@@ -178,38 +284,54 @@ def duplicate_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
 
     Iterative min-label propagation over DataFrames: each round joins every
     node's current label against its neighbors' and takes the min, until a
-    fixpoint (checked with a driver-side count — one tiny action per round).
-    Rounds needed = graph diameter; duplicate clusters are shallow in
-    practice. This is the standard large-scale connected-components shape
-    (hash-partitioned joins, no driver materialization of the graph)."""
+    fixpoint. Rounds needed = graph diameter; duplicate clusters are shallow
+    in practice. This is the standard large-scale connected-components shape
+    (hash-partitioned joins, no driver materialization of the graph).
+
+    ONE job per round: the previous label is folded into the round's plan and
+    the convergence count runs on the LAZY localCheckpoint, so a single
+    action both materializes the checkpoint (truncating lineage) and returns
+    the changed-count — no second recompute job per round."""
     edges = (
         pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionByName(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .distinct()
+        # checkpoint the edge list: the upstream pair-generation plan (LSH /
+        # Jaccard) is expensive and must not re-execute inside every round
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    labels = labels.localCheckpoint(eager=False)
     for _ in range(max_iters):
-        neigh = (
-            edges.join(labels, edges.v == labels.node)
-            .select(F.col("u").alias("node"), "label")
+        cur = labels.select("node", "label")
+        neigh = edges.join(cur, edges.v == cur.node).select(
+            F.col("u").alias("node"), "label"
         )
-        new_labels = (
-            labels.select("node", "label")
-            .unionByName(neigh)
+        merged = (
+            cur.unionByName(neigh)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+        # pointer doubling: follow label → label's OWN label in the same
+        # round (labels are node ids, so a self-join resolves one hop) —
+        # remaining diameter halves per round, so convergence is
+        # O(log diameter) rounds instead of O(diameter)
+        l2 = merged.select(F.col("node").alias("label"), F.col("label").alias("_l2"))
+        merged = merged.join(l2, "label").select(
+            "node", F.least("label", "_l2").alias("label")
         )
-        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        staged = merged.join(
+            labels.select("node", F.col("label").alias("_old")), "node"
+        ).localCheckpoint(eager=False)
+        # this count is the round's ONLY action: it materializes `staged`
+        # (lazy checkpoint → lineage truncated for the next round) and
+        # returns the convergence metric in the same job
+        changed = staged.filter(F.col("label") != F.col("_old")).count()
+        labels = staged
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc"), F.col("label").alias("component"))

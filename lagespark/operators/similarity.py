@@ -47,6 +47,32 @@ def _normalized(mat: np.ndarray) -> np.ndarray:
     return mat / n
 
 
+# Hard ceiling on rows collected for the brute-force/exact paths. At D=64
+# float64 this is ~1 GiB of matrix — beyond it the exact path would OOM the
+# driver/executors, so we fail fast with a pointer to the scale paths.
+MAX_EXACT_TARGET_ROWS = 2_000_000
+
+
+def _broadcast_matrix(
+    df: DataFrame, id_col: str, vec_col: str, max_rows: int = MAX_EXACT_TARGET_ROWS
+):
+    """Collect (ids, normalized matrix) for a BOUNDED target set and ship it
+    via sc.broadcast — serialized once per executor, not once per task as a
+    closure capture would be. Raises if the set exceeds `max_rows`; the
+    unbounded-N paths are lsh_topk / ivf_topk (bucketed shuffle joins)."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"exact similarity path: target set has {n} rows > bound {max_rows}; "
+            "use lsh_topk/ivf_topk (bucketed LSH/IVF) for unbounded targets"
+        )
+    tgt = df.select(id_col, vec_col).toPandas()
+    tids = tgt[id_col].to_numpy()
+    tmat = _normalized(np.stack(tgt[vec_col].to_numpy()).astype(np.float64))
+    sc = df.sparkSession.sparkContext
+    return sc.broadcast((tids, tmat))
+
+
 def cosine_topk(
     queries: DataFrame,
     targets: DataFrame,
@@ -57,13 +83,13 @@ def cosine_topk(
     round_to: int = 6,
 ) -> DataFrame:
     """Exact top-k cosine neighbors. Deterministic tie-break: by (rounded
-    cos desc, nn_id asc). Targets are collected once and closure-shipped."""
-    tgt = targets.select(id_col, vec_col).toPandas()
-    tids = tgt[id_col].to_numpy()
-    tmat = _normalized(np.stack(tgt[vec_col].to_numpy()).astype(np.float64))
+    cos desc, nn_id asc). Targets are size-guarded and broadcast once per
+    executor (exact-baseline path; unbounded N → lsh_topk/ivf_topk)."""
+    bc = _broadcast_matrix(targets, id_col, vec_col)
 
     @F.pandas_udf(_NN_T)
     def nn(qid: pd.Series, qv: pd.Series) -> pd.Series:
+        tids, tmat = bc.value
         q = _normalized(np.stack(qv.to_numpy()).astype(np.float64))
         cos = q @ tmat.T  # (B, N)
         cos = np.round(cos, round_to)
@@ -100,10 +126,9 @@ def cosine_pairs(
 ) -> DataFrame:
     """All pairs (a < b) with rounded cosine ≥ threshold (near-duplicate
     detection by embedding). One matmul per Arrow batch against the
-    closure-shipped matrix."""
-    tgt = df.select(id_col, vec_col).toPandas()
-    tids = tgt[id_col].to_numpy()
-    tmat = _normalized(np.stack(tgt[vec_col].to_numpy()).astype(np.float64))
+    size-guarded broadcast matrix — exact-baseline path; for unbounded
+    tables generate candidates with lsh_topk-style bucketing and refine."""
+    bc = _broadcast_matrix(df, id_col, vec_col)
 
     out_t = ArrayType(
         StructType([StructField("b", LongType()), StructField("cos", DoubleType())])
@@ -111,6 +136,7 @@ def cosine_pairs(
 
     @F.pandas_udf(out_t)
     def matches(qid: pd.Series, qv: pd.Series) -> pd.Series:
+        tids, tmat = bc.value
         q = _normalized(np.stack(qv.to_numpy()).astype(np.float64))
         cos = np.round(q @ tmat.T, round_to)
         out = []
@@ -159,13 +185,17 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    train_rows: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second ANN scale path
     next to sign-LSH: k-means centroids partition the target space; each
     target lands in ONE bucket (its nearest centroid); each query probes its
     `n_probe` nearest centroids → bucket equi-join → exact cosine refine +
-    window rank. At scale both sides shuffle once on the bucket id."""
-    sample = targets.select(vec_col).toPandas()
+    window rank. At scale both sides shuffle once on the bucket id.
+
+    The k-means index trains on a CAPPED driver-side sample (`train_rows`,
+    standard IVF practice) — never the full table."""
+    sample = targets.select(vec_col).limit(train_rows).toPandas()
     cent = kmeans_centroids(np.stack(sample[vec_col].to_numpy()), n_centroids, seed=seed)
 
     @F.pandas_udf(LongType())

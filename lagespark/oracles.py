@@ -28,8 +28,12 @@ import numpy as np
 # NOT unique in the harness lineitem, so points are grouped to a unique pid
 # with MIN (deterministic in both engines).
 PID_EXPR = "l_orderkey * 10 + l_linenumber"
-X_EXPR = "((l_orderkey * 9973 + l_partkey * 131 + l_linenumber * 17) % 100000) / 10.0 + 0.05"
-Y_EXPR = "((l_orderkey * 7919 + l_suppkey * 211 + l_linenumber * 13) % 100000) / 10.0 + 0.05"
+# CAST(... AS DOUBLE) before the division: Spark otherwise parses the `10.0`
+# literal as DECIMAL and carries x/y as DecimalType while DuckDB computes in
+# DOUBLE — full-precision value hashes then diverge (round-1 q03 failure).
+# With the cast, both engines perform identical IEEE-754 double arithmetic.
+X_EXPR = "CAST((l_orderkey * 9973 + l_partkey * 131 + l_linenumber * 17) % 100000 AS DOUBLE) / 10.0 + 0.05"
+Y_EXPR = "CAST((l_orderkey * 7919 + l_suppkey * 211 + l_linenumber * 13) % 100000 AS DOUBLE) / 10.0 + 0.05"
 
 POINTS_SELECT = (
     "SELECT pid, MIN(x) AS x, MIN(y) AS y FROM ("
@@ -41,10 +45,10 @@ POINTS_SELECT = (
 # so the modulus wraps even at sf0.001 key ranges (suppkey alone is tiny).
 RECT_SELECT = (
     "SELECT l_orderkey * 10 + l_linenumber AS rid, "
-    "((l_orderkey * 131 + l_partkey * 17) % 95000) / 10.0 AS rx0, "
-    "((l_orderkey * 283 + l_suppkey * 19 + l_partkey * 7) % 95000) / 10.0 AS ry0, "
-    "50.0 + (l_partkey % 450) AS rw, "
-    "50.0 + ((l_partkey * 3 + l_suppkey * 11) % 450) AS rh "
+    "CAST((l_orderkey * 131 + l_partkey * 17) % 95000 AS DOUBLE) / 10.0 AS rx0, "
+    "CAST((l_orderkey * 283 + l_suppkey * 19 + l_partkey * 7) % 95000 AS DOUBLE) / 10.0 AS ry0, "
+    "50.0 + CAST(l_partkey % 450 AS DOUBLE) AS rw, "
+    "50.0 + CAST((l_partkey * 3 + l_suppkey * 11) % 450 AS DOUBLE) AS rh "
     "FROM lineitem"
 )
 

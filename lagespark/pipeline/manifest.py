@@ -101,7 +101,6 @@ def write_stage(
 ) -> dict:
     """Write a checkpointed stage; returns its manifest. With resume=True and
     an existing incomplete output, only missing partitions are recomputed."""
-    spark = df.sparkSession
     man = read_manifest(out_dir)
     if man and man.get("complete") and man.get("inputs") == (inputs or []):
         return man  # stage done with the SAME inputs — skip entirely
@@ -122,10 +121,15 @@ def write_stage(
 
     obs = Observation(f"{stage}_metrics")
     df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # dynamic overwrite ONLY on the resume path (keeps the partitions the
+    # killed run completed); a fresh or lineage-invalidated rebuild must use
+    # static overwrite so partitions absent from the new DataFrame are
+    # DELETED — otherwise stale leftovers would be re-recorded into the new
+    # manifest and served as verified data
     (
         df.write.format(fmt)
-        .mode("overwrite" if done_vals else "overwrite")
+        .option("partitionOverwriteMode", "dynamic" if done_vals else "static")
+        .mode("overwrite")
         .partitionBy(partition_col)
         .save(out_dir)
     )

@@ -212,8 +212,10 @@ def zone_of_events(events: DataFrame) -> DataFrame:
     from lagespark import fixtures
     from lagespark.operators import spatial
 
+    # CAST → DOUBLE before dividing: identical IEEE math to the DuckDB oracle
+    # (Spark would otherwise carry x/y as DecimalType — see lagespark.oracles)
     pts = events.withColumn(
-        "x", F.expr("((event_id * 9973) % 100000) / 10.0 + 0.05")
-    ).withColumn("y", F.expr("((event_id * 7919) % 100000) / 10.0 + 0.05"))
+        "x", F.expr("CAST((event_id * 9973) % 100000 AS DOUBLE) / 10.0 + 0.05")
+    ).withColumn("y", F.expr("CAST((event_id * 7919) % 100000 AS DOUBLE) / 10.0 + 0.05"))
     bf = spatial.FeatureSet(fixtures.baufeld_pdf())
     return spatial.with_zone(pts, bf).select("event_id", "event_type", "zone", "value")

@@ -92,6 +92,27 @@ def test_kill_and_resume_recomputes_only_missing(spark, fresh_run, tmp_path):
     assert (a["bytes"] == b["bytes"]).all()
 
 
+def test_full_rebuild_deletes_stale_partitions(spark, tmp_path):
+    """A fresh (non-resume) write over an existing stage directory must
+    DELETE partitions absent from the new DataFrame — dynamic overwrite would
+    leave them on disk and the manifest would record stale data as verified."""
+    out = str(tmp_path / "stale")
+    df1 = spark.range(0, 30).selectExpr("id", "CAST(id % 3 AS INT) AS p")
+    manifest.write_stage(df1, out, "s", "p", inputs=["m1"])
+    assert sorted(manifest.read_manifest(out)["partitions"]) == ["0", "1", "2"]
+
+    # rebuild with DIFFERENT inputs (lineage invalidation) and fewer partitions
+    df2 = spark.range(0, 20).selectExpr("id", "CAST(id % 2 AS INT) AS p")
+    man2 = manifest.write_stage(df2, out, "s", "p", inputs=["m2"])
+    assert sorted(man2["partitions"]) == ["0", "1"]
+    on_disk = sorted(
+        d.split("=", 1)[1] for d in os.listdir(out) if d.startswith("p=")
+    )
+    assert on_disk == ["0", "1"], f"stale partition left on disk: {on_disk}"
+    df, _ = manifest.read_stage(spark, out)
+    assert df.count() == 20
+
+
 def test_spark_submit_pyfiles(tmp_path):
     """The BASELINE.json:14 launch mode: spark-submit --py-files zip runs the
     CLI end-to-end from OUTSIDE the repo directory."""

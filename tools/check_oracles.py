@@ -21,7 +21,46 @@ TABLES = (
 ).split()
 
 
+def _kind(s: pd.Series) -> str:
+    """Normalized dtype kind so Spark-vs-DuckDB type drift is visible.
+
+    int widths collapse (i32 == i64 hashes identically) but float vs
+    int vs decimal vs string do NOT — a DecimalType column on the Spark
+    side (the round-1 q03 failure mode) shows up as kind 'decimal'."""
+    import decimal
+
+    k = s.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "ts"
+    for v in s:
+        if v is None:
+            continue
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, (list, np.ndarray)):
+            return "list"
+        if isinstance(v, (int, np.integer)):
+            return "int"
+        if isinstance(v, (float, np.floating)):
+            return "float"
+        return type(v).__name__
+    return "empty"
+
+
 def canon(df: pd.DataFrame) -> tuple:
+    """Order-insensitive (rows, value-hash) at FULL float precision.
+
+    Floats hash via repr() (shortest round-trip) — NOT rounded — so a
+    Spark Decimal('2664.450000') vs DuckDB double 2664.4500000000003
+    divergence fails here exactly as it fails the driver's hash."""
+    import decimal
+
     df = df.reindex(sorted(df.columns), axis=1)
     rows = []
     for t in df.itertuples(index=False):
@@ -29,8 +68,8 @@ def canon(df: pd.DataFrame) -> tuple:
         for v in t:
             if v is None or (isinstance(v, float) and np.isnan(v)):
                 vals.append("∅")
-            elif isinstance(v, (np.floating, float)):
-                vals.append(f"{float(v):.6f}")
+            elif isinstance(v, (np.floating, float, decimal.Decimal)):
+                vals.append(repr(float(v)))
             elif isinstance(v, (np.integer, int)):
                 vals.append(str(int(v)))
             elif isinstance(v, (pd.Timestamp,)):
@@ -83,8 +122,8 @@ def main():
             continue
         ns, hs = canon(sdf)
         no, ho = canon(odf)
-        schema_s = sorted(sdf.columns)
-        schema_o = sorted(odf.columns)
+        schema_s = sorted((c, _kind(sdf[c])) for c in sdf.columns)
+        schema_o = sorted((c, _kind(odf[c])) for c in odf.columns)
         status = "PASS" if (ns == no and hs == ho and schema_s == schema_o) else "FAIL"
         msg = f"{status} {name}: spark {ns} rows, oracle {no} rows [{time.time()-t0:.1f}s]"
         if status == "FAIL":

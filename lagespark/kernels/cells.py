@@ -225,6 +225,32 @@ def s2_cell_center(cell: np.ndarray):
     return lat, lon
 
 
+def s2_cell_corners(cell: np.ndarray):
+    """Cell ids → (lat, lon) arrays of shape (N, 4): the four cell corners
+    (i,j), (i+1,j), (i+1,j+1), (i,j+1) in st space mapped back to the sphere.
+    Used by the exact polyfill to clip-test each candidate cell's footprint
+    against the feature polygon."""
+    face, i, j, level = s2_decode_ij(cell)
+    n = 1 << level
+    di = np.array([0, 1, 1, 0])
+    dj = np.array([0, 0, 1, 1])
+    u = _st_to_uv((i[:, None].astype(np.float64) + di[None, :]) / n)
+    v = _st_to_uv((j[:, None].astype(np.float64) + dj[None, :]) / n)
+    x = np.empty_like(u)
+    y = np.empty_like(u)
+    z = np.empty_like(u)
+    facem = np.repeat(face[:, None], 4, axis=1)
+    for f, fn in _FACE_XYZ.items():
+        m = facem == f
+        if m.any():
+            xf, yf, zf = fn(u[m], v[m])
+            x[m], y[m], z[m] = xf, yf, zf
+    r = np.sqrt(x * x + y * y + z * z)
+    lat = np.degrees(np.arcsin(z / r))
+    lon = np.degrees(np.arctan2(y, x))
+    return lat, lon
+
+
 def s2_cover_bbox(
     lat_min: float, lon_min: float, lat_max: float, lon_max: float, level: int = 15
 ) -> np.ndarray:

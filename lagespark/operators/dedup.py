@@ -65,14 +65,32 @@ def minhash_signature(
     hash bits, which correlates bands slightly — acceptable for candidate
     generation (verified exactly downstream); swap in independent hashes
     per permutation where statistical guarantees matter. perms ≤ 9 with
-    15-char windows over the 32-char digest."""
+    15-char windows over the 32-char digest.
+
+    Computed with higher-order functions (array_min over transform) — the
+    whole signature is ONE codegen projection per document: no (doc, shingle)
+    row explosion, no groupBy shuffle. The values are identical to the
+    exploded unnest+GROUP BY formulation the DuckDB oracle runs (min over
+    the same distinct shingle set)."""
     assert perms <= 9
-    sh = df.select(F.col(id_col), F.explode(shingle_col(text_col, n)).alias("sh"))
-    h = sh.select(F.col(id_col), F.md5("sh").alias("h"))
-    aggs = [
-        F.min(F.substring("h", 2 * p + 1, 15)).alias(f"mh{p}") for p in range(perms)
-    ]
-    return h.groupBy(id_col).agg(*aggs)
+
+    def _window(p: int):
+        # closure factory: the lambda must take EXACTLY one parameter —
+        # a second (even defaulted) parameter makes PySpark bind it to the
+        # array INDEX, silently corrupting the permutation
+        return lambda h: F.substring(h, 2 * p + 1, 15)
+
+    sh = df.select(F.col(id_col), shingle_col(text_col, n).alias("shs"))
+    hs = sh.select(
+        F.col(id_col), F.transform(F.col("shs"), lambda s: F.md5(s)).alias("hs")
+    )
+    return hs.select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform(F.col("hs"), _window(p))).alias(f"mh{p}")
+            for p in range(perms)
+        ],
+    )
 
 
 def minhash_pairs(
@@ -134,12 +152,24 @@ def minhash_pairs_fast(
     exists only for DuckDB-oracle portability; this is the path a 100 TB
     dedup job runs. Candidate quality is equivalent (both are uniform hash
     families); the exact sets differ, so correctness is pinned by tests
-    (injected duplicates + recall vs the md5 path), not a SQL oracle."""
-    sh = df.select(F.col(id_col), F.explode(shingle_col(text_col, n)).alias("sh"))
-    aggs = [
-        F.min(F.xxhash64(F.lit(p), F.col("sh"))).alias(f"mh{p}") for p in range(perms)
-    ]
-    sig = sh.groupBy(id_col).agg(*aggs)
+    (injected duplicates + recall vs the md5 path), not a SQL oracle.
+
+    Like minhash_signature, the signature is pure higher-order functions —
+    one codegen projection per document, no shingle-row explosion and no
+    groupBy shuffle; the only shuffle in the whole operator is the (band,
+    band_key) bucket groupBy, whose keys are uniform int64."""
+    def _perm(p: int):
+        # one-parameter lambda via closure factory (see minhash_signature)
+        return lambda s: F.xxhash64(F.lit(p), s)
+
+    sh = df.select(F.col(id_col), shingle_col(text_col, n).alias("shs"))
+    sig = sh.select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform(F.col("shs"), _perm(p))).alias(f"mh{p}")
+            for p in range(perms)
+        ],
+    )
     bands = perms // band_rows
     band_keys = F.array(
         *[

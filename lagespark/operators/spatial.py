@@ -44,18 +44,13 @@ class FeatureSet:
         self.rings: dict[str, list[np.ndarray]] = {}
         self.bbox: dict[str, tuple[float, float, float, float]] = {}
         self.attrs = pdf.drop(columns=["rings"]).set_index("feature_id")
-        for _, row in pdf.iterrows():
+        for row in pdf.itertuples(index=False):
             rr = [
                 np.array([[p["x"], p["y"]] for p in ring], dtype=np.float64)
-                for ring in row["rings"]
+                for ring in row.rings
             ]
-            self.rings[row["feature_id"]] = rr
-            self.bbox[row["feature_id"]] = (
-                row["xmin"],
-                row["ymin"],
-                row["xmax"],
-                row["ymax"],
-            )
+            self.rings[row.feature_id] = rr
+            self.bbox[row.feature_id] = (row.xmin, row.ymin, row.xmax, row.ymax)
 
     def polys(self) -> list[list[np.ndarray]]:
         return [self.rings[i] for i in self.ids]
@@ -173,11 +168,16 @@ def pip_join(
 
 
 def s2_feature_cover_df(
-    spark: SparkSession, feats: FeatureSet, level: int = 15
+    spark: SparkSession, feats: FeatureSet, level: int = 15, exact: bool = True
 ) -> DataFrame:
     """(feature_id, cell_s2) cover via the S2 index: planar bboxes go through
     the engine CRS affine to lat/lon, then to a conservative ij-range cover
-    (kernels.cells.s2_cover_bbox)."""
+    (kernels.cells.s2_cover_bbox). With exact=True, the EXACT polyfill: each
+    candidate cell's spherical footprint is mapped back to planar meters and
+    clip-tested against the polygon outer ring — cells that provably miss the
+    feature are dropped (same test as the grid path's exact cover). The cell
+    footprint is conservatively padded by 1% per side for the (sub-ulp at
+    level 15) curvature of cell edges under the CRS affine."""
     from lagespark import fixtures
 
     out_f: list[str] = []
@@ -189,6 +189,26 @@ def s2_feature_cover_df(
         cc = cells.s2_cover_bbox(
             float(lat0[0]), float(lon0[0]), float(lat1[0]), float(lon1[0]), level
         )
+        if exact and len(cc):
+            clat, clon = cells.s2_cell_corners(cc)  # (N, 4)
+            cx, cy = fixtures.lonlat_to_xy(clon, clat)
+            outer = feats.rings[fid][0]
+            keep = []
+            for k in range(len(cc)):
+                x0, x1 = float(cx[k].min()), float(cx[k].max())
+                y0, y1 = float(cy[k].min()), float(cy[k].max())
+                px, py = (x1 - x0) * 0.01, (y1 - y0) * 0.01
+                rect = np.array(
+                    [
+                        [x0 - px, y0 - py],
+                        [x1 + px, y0 - py],
+                        [x1 + px, y1 + py],
+                        [x0 - px, y1 + py],
+                    ]
+                )
+                if geom.clip_area(outer, rect) > 0.0:
+                    keep.append(int(cc[k]))
+            cc = np.array(keep, dtype=np.int64)
         out_f.extend([fid] * len(cc))
         out_c.extend(int(c) for c in cc)
     return spark.createDataFrame(

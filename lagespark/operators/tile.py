@@ -28,37 +28,48 @@ def rasterize_features(
     feats: FeatureSet,
     tile_size: float = 256.0,
     cells_per_side: int = 16,
+    group_buckets: int = 64,
 ) -> DataFrame:
     """(tile_id, feature_id, covered_cells, mask) — mask is the row-major
-    bit-packed sub-raster (bytes, cells_per_side²/8 long)."""
+    bit-packed sub-raster (bytes, cells_per_side²/8 long).
+
+    Groups are (feature_id, tile_id % group_buckets) so one applyInPandas
+    call renders MANY tiles of a feature in a single stacked PIP pass
+    (N·S² points through one vectorized kernel call) while group size stays
+    bounded for shuffle balance at scale."""
     cover = feature_cover_pdf(feats, cell_size=tile_size, exact=True)
     pairs = spark.createDataFrame(cover).withColumnRenamed("cell", "tile_id")
     rings_by_fid = feats.rings
     sub = tile_size / cells_per_side
+    S = cells_per_side
 
     def render(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        offs = (np.arange(cells_per_side) + 0.5) * sub
-        for _, r in pdf.iterrows():
-            tid = int(r["tile_id"])
-            i, j = cells.grid_decode(np.array([tid]))
-            x0 = float(i[0]) * tile_size
-            y0 = float(j[0]) * tile_size
-            gx, gy = np.meshgrid(x0 + offs, y0 + offs)
-            inside = geom.point_in_polygon(
-                gx.ravel(), gy.ravel(), rings_by_fid[r["feature_id"]]
-            )
-            n = int(inside.sum())
-            if n == 0:
-                continue
-            rows.append(
-                (tid, r["feature_id"], n, np.packbits(inside).tobytes())
-            )
+        fid = pdf["feature_id"].iloc[0]
+        ring = rings_by_fid[fid]
+        tids = pdf["tile_id"].to_numpy(dtype=np.int64)
+        i, j = cells.grid_decode(tids)
+        x0 = i.astype(np.float64) * tile_size
+        y0 = j.astype(np.float64) * tile_size
+        offs = (np.arange(S) + 0.5) * sub
+        gx, gy = np.meshgrid(offs, offs)  # row-major: x varies fastest
+        px = (x0[:, None] + gx.ravel()[None, :]).ravel()
+        py = (y0[:, None] + gy.ravel()[None, :]).ravel()
+        inside = geom.point_in_polygon(px, py, ring).reshape(len(tids), S * S)
+        counts = inside.sum(axis=1)
+        keep = counts > 0
+        packed = np.packbits(inside[keep], axis=1)
         return pd.DataFrame(
-            rows, columns=["tile_id", "feature_id", "covered_cells", "mask"]
+            {
+                "tile_id": tids[keep],
+                "feature_id": np.repeat(fid, int(keep.sum())),
+                "covered_cells": counts[keep].astype(np.int32),
+                "mask": [m.tobytes() for m in packed],
+            }
         )
 
-    return pairs.repartition("tile_id").groupBy("tile_id", "feature_id").applyInPandas(
+    return pairs.groupBy(
+        "feature_id", F.pmod(F.col("tile_id"), F.lit(group_buckets))
+    ).applyInPandas(
         render, "tile_id long, feature_id string, covered_cells int, mask binary"
     )
 
@@ -70,35 +81,37 @@ def vectorize_tiles(
     the vector-side output of the raster↔vector round trip."""
     sub = tile_size / cells_per_side
 
+    S = cells_per_side
+
     def unrender(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, r in pdf.iterrows():
-            i, j = cells.grid_decode(np.array([int(r["tile_id"])]))
-            x0 = float(i[0]) * tile_size
-            y0 = float(j[0]) * tile_size
-            bits = np.unpackbits(
-                np.frombuffer(r["mask"], dtype=np.uint8),
-                count=cells_per_side * cells_per_side,
-            ).reshape(cells_per_side, cells_per_side)
-            for row in range(cells_per_side):
-                line = bits[row]
-                change = np.flatnonzero(np.diff(line)) + 1
-                starts = np.concatenate(([0], change))
-                ends = np.concatenate((change, [cells_per_side]))
-                for s, e in zip(starts, ends):
-                    if line[s]:
-                        rows.append(
-                            (
-                                int(r["tile_id"]),
-                                r["feature_id"],
-                                x0 + s * sub,
-                                y0 + row * sub,
-                                x0 + e * sub,
-                                y0 + (row + 1) * sub,
-                            )
-                        )
+        tids = pdf["tile_id"].to_numpy(dtype=np.int64)
+        fids = pdf["feature_id"].to_numpy()
+        i, j = cells.grid_decode(tids)
+        x0 = i.astype(np.float64) * tile_size
+        y0 = j.astype(np.float64) * tile_size
+        m = len(pdf)
+        bits = np.zeros((m, S, S), dtype=np.int8)
+        for k, raw in enumerate(pdf["mask"]):
+            bits[k] = np.unpackbits(
+                np.frombuffer(raw, dtype=np.uint8), count=S * S
+            ).reshape(S, S)
+        # vectorized run detection across ALL masks at once: zero-pad each
+        # scan line, diff → +1 at run starts, -1 one past run ends;
+        # np.nonzero's row-major order pairs starts[k] with ends[k]
+        padded = np.zeros((m, S, S + 2), dtype=np.int8)
+        padded[:, :, 1:-1] = bits
+        d = np.diff(padded, axis=2)
+        sm, sr, sc = np.nonzero(d == 1)
+        em, er, ec = np.nonzero(d == -1)
         return pd.DataFrame(
-            rows, columns=["tile_id", "feature_id", "xmin", "ymin", "xmax", "ymax"]
+            {
+                "tile_id": tids[sm],
+                "feature_id": fids[sm],
+                "xmin": x0[sm] + sc * sub,
+                "ymin": y0[sm] + sr * sub,
+                "xmax": x0[em] + ec * sub,
+                "ymax": y0[em] + (er + 1) * sub,
+            }
         )
 
     return tiles.groupBy("tile_id").applyInPandas(

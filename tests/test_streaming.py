@@ -175,6 +175,84 @@ def test_stateful_running_totals(spark, tmpdir):
     assert got.loc[9, "total"] == pytest.approx(5.0)
 
 
+def test_transform_with_state_seam_without_protobuf(spark):
+    """Sandbox has no google.protobuf → the TWS op must fail FAST with the
+    documented error (not crash inside the JVM-spawned driver worker)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf present — the parity test below covers TWS")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="google.protobuf"):
+        ops.running_user_totals_tws(
+            spark.read.parquet(f"{SF}/events.parquet")
+        )
+
+
+def test_transform_with_state_parity(spark, tmpdir):
+    """s07 on BOTH state APIs: transformWithStateInPandas (Spark 4) must
+    produce the same final per-user totals as applyInPandasWithState over a
+    two-batch run (second batch exercises state recovery). Requires
+    google.protobuf (PySpark TWS worker dependency) — skipped in the sandbox,
+    live on any real cluster."""
+    pytest.importorskip("google.protobuf")
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    batch1 = [
+        (1, t0, 7, "a", 2.0, "{}"),
+        (2, t0 + pd.Timedelta(minutes=1), 7, "a", 3.0, "{}"),
+        (3, t0 + pd.Timedelta(minutes=2), 9, "a", 5.0, "{}"),
+    ]
+    batch2 = [
+        (4, t0 + pd.Timedelta(minutes=3), 7, "a", 10.0, "{}"),
+        (5, t0 + pd.Timedelta(minutes=4), 11, "a", 1.5, "{}"),
+    ]
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        finals = {}
+        for api, fn in (("aips", ops.running_user_totals),
+                        ("tws", ops.running_user_totals_tws)):
+            src = f"{tmpdir}/tws_src_{api}"
+            ck = f"{tmpdir}/tws_ck_{api}"
+            _mk_events(spark, batch1).write.parquet(src, mode="overwrite")
+            name = api + uuid.uuid4().hex[:8]
+            q = (
+                fn(ops.read_events_stream(spark, src))
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                _mk_events(spark, batch2).write.parquet(src, mode="append")
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            got = (
+                spark.sql(f"SELECT * FROM {name}")
+                .toPandas()
+                .sort_values(["user_id", "n"])
+                .groupby("user_id")
+                .last()
+            )
+            finals[api] = got[["n", "total"]]
+        pd.testing.assert_frame_equal(finals["aips"], finals["tws"], check_dtype=False)
+        assert finals["tws"].loc[7, "total"] == pytest.approx(15.0)
+        assert finals["tws"].loc[7, "n"] == 3
+        assert finals["tws"].loc[11, "total"] == pytest.approx(1.5)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_stream_static_geo_join(spark, tmpdir):
     src = _events_src(spark, tmpdir)
     stream = ops.read_events_stream(spark, src)

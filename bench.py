@@ -72,6 +72,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
+        # isolate queries from each other's GC debt (image payloads / md5
+        # churn otherwise inflate whatever runs next)
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.3)
         t0 = time.perf_counter()
         materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)

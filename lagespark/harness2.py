@@ -62,6 +62,18 @@ def q72b(spark, sf):
     )
 
 
+@q("q71b-dedup-lsh-jaccard")  # approx recall (LSH candidates) → rows-only
+def q71b(spark, sf):
+    """Production dedup pipeline: LSH candidates → exact Jaccard refine —
+    only candidate pairs pay the quadratic set comparison. Precision is
+    exact; recall (LSH) asserted on injected duplicates in tests."""
+    d = T(spark, sf, "documents")
+    dup = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return dedup.minhash_jaccard_pairs(d.unionByName(dup), threshold=0.62)
+
+
 def _simhash_oracle() -> str:
     votes = ", ".join(
         f"{e} AS {a}" for a, e in dedup.simhash_vote_exprs(16, "duckdb")
@@ -152,6 +164,18 @@ def q81(spark, sf):
 # ===========================================================================
 # similarity search
 # ===========================================================================
+
+
+@q("q74b-dedup-embed-cosine-lsh")  # approx recall (sign-LSH buckets) → rows-only
+def q74b(spark, sf):
+    """Embedding near-dup pairs at SCALE: sign-LSH bucket self-join + exact
+    cosine refine (q74 is the bounded exact baseline). Injected-duplicate
+    recall asserted in tests."""
+    e = T(spark, sf, "embeddings")
+    dup = e.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    return similarity.cosine_pairs_lsh(e.unionByName(dup), threshold=0.85)
 
 
 @q(

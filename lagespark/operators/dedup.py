@@ -123,7 +123,10 @@ def minhash_pairs(
     )
     # pairs within each bucket WITHOUT a self-join (a self-join would compute
     # the whole signature subplan twice): group ids per band key, emit the
-    # a<b combinations with a double explode
+    # a<b combinations with a streaming double explode. (A nested-transform
+    # upper-triangle was tried and is SLOWER: it materializes the whole
+    # k(k-1)/2 combination array per bucket before exploding, while Generate
+    # streams.)
     buckets = (
         keys.groupBy("band", "band_key")
         .agg(F.collect_list(id_col).alias("ids"))
@@ -248,6 +251,37 @@ def simhash_vote_exprs(bits: int, dialect: str) -> list[tuple[str, str]]:
 
 def simhash_value_sql(bits: int) -> str:
     return "(" + " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)) + ")"
+
+
+def minhash_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    perms: int = 8,
+    band_rows: int = 2,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The PRODUCTION dedup combo: MinHash+LSH candidate generation
+    (minhash_pairs_fast — bucketed, linear) followed by EXACT n-gram Jaccard
+    refinement computed only on the candidate pairs. Precision is exact
+    (every emitted pair really has jaccard ≥ threshold); recall is the LSH
+    collision probability, asserted on injected duplicates in tests. This is
+    the shape a 100 TB near-dup sweep runs — the quadratic exact comparison
+    never touches non-candidate pairs."""
+    cand = minhash_pairs_fast(df, id_col, text_col, perms, band_rows, n)
+    sh = df.select(F.col(id_col), shingle_col(text_col, n).alias("sh"))
+    pairs = cand.join(
+        sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a")), "a"
+    ).join(sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b")), "b")
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_distinct(F.concat("sh_a", "sh_b"))
+    )
+    return (
+        pairs.withColumn("raw_jac", jac)
+        .filter(F.col("raw_jac") >= threshold)
+        .select("a", "b", F.round("raw_jac", 4).alias("jaccard"))
+    )
 
 
 def hamming_pairs(

@@ -153,6 +153,68 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_lsh(
+    df: DataFrame,
+    threshold: float,
+    planes: int = 6,
+    tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """SCALE path for embedding near-duplicate pairs (the unbounded-N
+    counterpart of cosine_pairs): sign-LSH sketches bucket BOTH sides, the
+    candidate set is the bucket self-join (equi-join on the sketch — one
+    shuffle, no all-pairs), and candidates refine with the exact cosine.
+    Approximate: recall depends on (planes, tables) vs the threshold angle —
+    sign-LSH collision prob per table is (1 - θ/π)^planes, OR-amplified
+    across tables. Defaults target near-dup thresholds (cos ≥ ~0.85);
+    injected-duplicate recall is asserted in tests."""
+    rng = np.random.default_rng(seed)
+    pl = rng.normal(size=(tables, planes, dim))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sketches(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        keys = []
+        for t in range(tables):
+            signs = (m @ pl[t].T) > 0
+            val = np.full(len(m), t << 60, dtype=np.int64)
+            for j in range(planes):
+                val |= signs[:, j].astype(np.int64) << j
+            keys.append(val)
+        return pd.Series(np.stack(keys, axis=1).tolist())
+
+    keyed = df.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "bucket", F.explode(sketches(F.col(vec_col)))
+    )
+    a = keyed.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+    @F.pandas_udf(DoubleType())
+    def cos(x: pd.Series, y: pd.Series) -> pd.Series:
+        mx = _normalized(np.stack(x.to_numpy()).astype(np.float64))
+        my = _normalized(np.stack(y.to_numpy()).astype(np.float64))
+        return pd.Series(np.round(np.sum(mx * my, axis=1), round_to))
+
+    return (
+        cand.withColumn("cos", cos(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
+
+
 def kmeans_centroids(
     mat: np.ndarray, k: int, iters: int = 8, seed: int = 42
 ) -> np.ndarray:

@@ -103,6 +103,65 @@ def test_minhash_fast_finds_injected_duplicates(spark):
     assert {(100, 102), (100, 103), (101, 102), (101, 103)} & near
 
 
+def test_lsh_jaccard_pipeline_precision_and_recall(spark):
+    """q71b shape: every emitted pair verifies (precision exact); injected
+    exact duplicates are all recovered (recall on jaccard=1.0 pairs is 1 —
+    identical signatures share every band); plan has no cartesian."""
+    from lagespark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(150)
+    dup = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    d = docs.unionByName(dup)
+    out = dedup.minhash_jaccard_pairs(d, threshold=0.62)
+    _assert_no_all_pairs(plan_of(out), "q71b")
+    pdf = out.toPandas()
+    assert (pdf["jaccard"] >= 0.62).all()
+    got = {(r.a, r.b) for r in pdf.itertuples()}
+    injected = {
+        (int(r.doc_id), int(r.doc_id) + 1_000_000) for r in dup.select(
+            (F.col("doc_id") - 1_000_000).alias("doc_id")
+        ).collect()
+    }
+    assert injected <= got, injected - got
+    # exact-refine agreement: the pipeline's pairs are a SUBSET of the
+    # bruteforce jaccard pairs at the same threshold (precision = 1)
+    brute = {
+        (r.a, r.b)
+        for r in dedup.ngram_jaccard_pairs(d, threshold=0.62).collect()
+    }
+    assert got <= brute
+
+
+def test_cosine_pairs_lsh_recall_on_injected(spark):
+    """q74b shape: exact duplicates (cos = 1.0) must be recovered by the
+    sign-LSH bucket path (identical sketches in every table), results refine
+    exactly, and the plan stays an equi-join."""
+    from lagespark.operators import similarity
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    dup = e.filter(F.col("vec_id") % 20 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    d = e.unionByName(dup)
+    out = similarity.cosine_pairs_lsh(d, threshold=0.85)
+    _assert_no_all_pairs(plan_of(out), "q74b")
+    pdf = out.toPandas()
+    assert (pdf["cos"] >= 0.85).all()
+    got = {(r.a, r.b) for r in pdf.itertuples()}
+    injected = {
+        (int(v), int(v) + 1_000_000)
+        for (v,) in e.filter(F.col("vec_id") % 20 == 0).select("vec_id").collect()
+    }
+    assert injected <= got, injected - got
+    # precision vs the exact bounded baseline
+    exact = {
+        (r.a, r.b) for r in similarity.cosine_pairs(d, threshold=0.85).collect()
+    }
+    assert got <= exact
+
+
 def test_minhash_fast_vs_md5_candidates(spark):
     """Different hash families → candidate sets may differ on borderline
     pairs, but both must agree on the high-similarity core: every pair the

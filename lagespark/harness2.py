@@ -268,3 +268,84 @@ def q79(spark, sf):
 def q80(spark, sf):
     d = T(spark, sf, "documents")
     return d.selectExpr("doc_id", text.fingerprint_expr("text", "spark") + " AS fp")
+
+
+def _q96_oracle() -> str:
+    """Kept docs = subset minus every non-representative cluster member
+    (recursive transitive closure, same graph as q81)."""
+    pairs = (
+        "SELECT a.doc_id AS a, b.doc_id AS b FROM s a, s b "
+        "WHERE a.doc_id < b.doc_id AND "
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+        "len(list_distinct(list_concat(a.sh, b.sh))) >= 0.65"
+    )
+    return (
+        "WITH RECURSIVE s AS (SELECT doc_id, " + dedup.shingles_sql("text", 3)
+        + " AS sh FROM documents WHERE doc_id < 120), "
+        "p AS (" + pairs + "), "
+        "e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p), "
+        "reach AS (SELECT u, v FROM e UNION "
+        "SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u), "
+        "comp AS (SELECT u AS doc, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u) "
+        "SELECT doc_id FROM documents WHERE doc_id < 120 AND doc_id NOT IN "
+        "(SELECT doc FROM comp WHERE doc <> component)"
+    )
+
+
+@q("q96-dedup-corpus", _q96_oracle())
+def q96(spark, sf):
+    """End-to-end dedup FILTER: near-dup pair graph → components → keep only
+    each cluster's minimum id + all unclustered docs (dedup.dedup_corpus)."""
+    d = T(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    return dedup.dedup_corpus(d, threshold=0.65).select("doc_id")
+
+
+@q(
+    "q97-sample-hash",
+    "SELECT doc_id FROM documents WHERE "
+    + text.sample_hash_expr("text", "duckdb"),
+)
+def q97(spark, sf):
+    """Deterministic content-hash sampling (~1/8): reproducible at any
+    partitioning — the sampling primitive for corpus subsetting."""
+    d = T(spark, sf, "documents")
+    return d.filter(F.expr(text.sample_hash_expr("text", "spark"))).select("doc_id")
+
+
+@q(
+    "q98-text-normalize",
+    "SELECT doc_id, " + text.normalize_expr("text", "duckdb") + " AS norm "
+    "FROM documents",
+)
+def q98(spark, sf):
+    d = T(spark, sf, "documents")
+    return d.selectExpr("doc_id", text.normalize_expr("text", "spark") + " AS norm")
+
+
+def _q99_oracle() -> str:
+    lang = text.langid_expr("text", "duckdb")
+    ws = text.token_count_ws_expr("text", "duckdb")
+    return (
+        f"SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_ws) AS BIGINT) AS total_tokens, "
+        "ROUND(AVG(CAST(n_chars AS DOUBLE)), 2) AS avg_chars FROM ("
+        f"SELECT {lang} AS lang, {ws} AS n_ws, length(text) AS n_chars "
+        "FROM documents) GROUP BY lang"
+    )
+
+
+@q("q99-corpus-stats", _q99_oracle())
+def q99(spark, sf):
+    """Corpus rollup by predicted language — the reporting aggregate a data
+    pipeline materializes after filtering."""
+    d = T(spark, sf, "documents")
+    lang = text.langid_expr("text", "spark")
+    ws = text.token_count_ws_expr("text", "spark")
+    per = d.selectExpr(
+        f"{lang} AS lang", f"{ws} AS n_ws", "length(text) AS n_chars"
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws").cast("long").alias("total_tokens"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 2).alias("avg_chars"),
+    )

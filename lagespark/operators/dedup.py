@@ -401,6 +401,29 @@ def duplicate_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels.select(F.col("node").alias("doc"), F.col("label").alias("component"))
 
 
+def dedup_corpus(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end near-duplicate corpus FILTER — the operator a training
+    pipeline actually calls: candidate pairs (caller-supplied, e.g.
+    minhash_jaccard_pairs at scale; exact ngram_jaccard_pairs by default on
+    bounded inputs) → connected components → keep each cluster's MINIMUM id
+    plus every unclustered document. Anti-join keeps the fact side
+    unshuffled except the component build."""
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    comp = duplicate_components(pairs.select("a", "b"))
+    losers = comp.filter(F.col("doc") != F.col("component")).select(
+        F.col("doc").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -95,6 +95,26 @@ def quality_exprs(col: str, dialect: str) -> dict[str, str]:
     }
 
 
+def normalize_expr(col: str, dialect: str) -> str:
+    """Corpus text normalization (the standard pre-dedup cleanup): lowercase,
+    strip non-alphanumerics to spaces, collapse runs, trim. Patterns stay in
+    the RE2∩Java-regex common subset; DuckDB needs the explicit 'g' option
+    (its regexp_replace is first-match by default, Spark's is global)."""
+    g = ", 'g'" if dialect == "duckdb" else ""
+    inner = f"regexp_replace(lower({col}), '[^a-z0-9 ]', ' '{g})"
+    return f"trim(regexp_replace({inner}, '  *', ' '{g}))"
+
+
+def sample_hash_expr(col: str, dialect: str, rate_hex4: str = "2000", seed: str = "s1") -> str:
+    """Deterministic content-hash sampling predicate: keep a row iff the
+    first 4 hex chars of md5(seed || text) sort below `rate_hex4`
+    ('2000' ≈ 1/8). Portable (md5 identical everywhere), reproducible at any
+    scale/partitioning, and stable under re-runs — the sampling primitive a
+    training-data pipeline needs (row-position sampling is neither)."""
+    fn = "substring" if dialect == "spark" else "substr"
+    return f"({fn}(md5(concat('{seed}|', {col})), 1, 4) < '{rate_hex4}')"
+
+
 def fingerprint_expr(col: str, dialect: str, mod: int = 1_000_000_007) -> str:
     """Polynomial rolling hash over the character stream (document
     fingerprint): fp = fold(acc * 131 + codepoint) mod p. Portable: Spark

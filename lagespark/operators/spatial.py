@@ -451,6 +451,15 @@ def knn_join(
 # ---------------------------------------------------------------------------
 
 
+def _repartition_for_kernel(df: DataFrame) -> DataFrame:
+    """Repartition a (typically skinny) DataFrame before a CPU-bound pandas
+    UDF stage. AQE sizes shuffle partitions by BYTES — after a join or
+    groupBy of small rows it coalesces to one or two partitions, which would
+    serialize the kernel. One extra cheap shuffle buys full parallelism."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(max(par, min(8 * par, 256)))
+
+
 def _bbox_cover_cells(df: DataFrame, cell_size: float, prefix: str) -> DataFrame:
     """Explode each feature to its bbox's covering grid cells with NATIVE
     sequence/explode arithmetic (no Python) — the PBSM partitioning step."""
@@ -497,6 +506,13 @@ def overlay_join(
       5. exact triangulated Sutherland–Hodgman intersection area in a
          vectorized-batch pandas UDF
 
+    Shuffle hygiene: the cover explosion and cell join run SKINNY — ids and
+    bbox doubles only. Ring payloads (the wide column) never multiply
+    through the per-cell explosion or the join; they are re-joined by id
+    onto the surviving deduped pairs just before the exact kernel. At scale
+    this cuts the dominant shuffle's payload by the mean cover multiplicity
+    × ring size.
+
     Inputs need columns: id, rings (array<array<struct<x,y>>>),
     xmin/ymin/xmax/ymax. Output: (left_id_l, right_id_r, area) for pairs
     with positive intersection area."""
@@ -516,8 +532,8 @@ def overlay_join(
         F.col("xmax").alias("rxmax"),
         F.col("ymax").alias("rymax"),
     )
-    lc = _bbox_cover_cells(l, cell_size, "l")
-    rc = _bbox_cover_cells(r, cell_size, "r")
+    lc = _bbox_cover_cells(l.drop("rings_l"), cell_size, "l")
+    rc = _bbox_cover_cells(r.drop("rings_r"), cell_size, "r")
     cand = lc.join(rc, "cell")
     # bbox overlap prefilter
     cand = cand.filter(
@@ -534,7 +550,13 @@ def overlay_join(
         F.floor(F.greatest("lymin", "rymin") / F.lit(cell_size)).cast("long")
         + cells.GRID_OFF
     )
-    cand = cand.filter(F.col("cell") == ref_cell)
+    cand = cand.filter(F.col("cell") == ref_cell).select("id_l", "id_r")
+    # enrich the surviving pairs with ring payloads (one shuffle per side,
+    # keyed on the id — no per-cell multiplication of the wide column)
+    cand = cand.join(l.select("id_l", "rings_l"), "id_l").join(
+        r.select("id_r", "rings_r"), "id_r"
+    )
+    cand = _repartition_for_kernel(cand)
 
     def rings_np(cell_rings) -> list[np.ndarray]:
         return [
@@ -733,6 +755,9 @@ def ri_masks(
             f_out[k] = f
         return pd.DataFrame({"a_mask": a_out, "f_mask": f_out})
 
+    # the cover explosion often sits on top of a small AQE-coalesced shuffle
+    # (deduped feature build) — spread it before the mask kernel
+    cov = _repartition_for_kernel(cov)
     return cov.withColumn("m", masks("rings", "cell")).select(
         F.col("id"),
         "rings",
@@ -820,6 +845,7 @@ def intersects_join_ri(
         return pd.Series(out)
 
     exact = exact.asNondeterministic()
+    ambiguous = _repartition_for_kernel(ambiguous)
     amb_yes = ambiguous.filter(exact("rings_l", "rings_r", "cell")).select(
         "id_l", "id_r", F.lit("exact").alias("method")
     )

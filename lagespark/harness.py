@@ -135,13 +135,7 @@ def q04(spark, sf):
             out[i] = geom.clip_area(ring, win) > 0.0
         return pd.Series(out)
 
-    r = T(spark, sf, "lineitem").selectExpr(
-        "l_orderkey * 10 + l_linenumber AS rid",
-        "((l_orderkey * 131 + l_partkey * 17) % 95000) / 10.0 AS rx0",
-        "((l_orderkey * 283 + l_suppkey * 19 + l_partkey * 7) % 95000) / 10.0 AS ry0",
-        "50.0 + (l_partkey % 450) AS rw",
-        "50.0 + ((l_partkey * 3 + l_suppkey * 11) % 450) AS rh",
-    )
+    r = T(spark, sf, "lineitem").selectExpr(*oracles.RECT_EXPRS)
     # cheap bbox prefilter first (q03 discipline), exact kernel on survivors
     cand = r.filter(
         (F.col("rx0") < 6000.0)
@@ -984,13 +978,7 @@ def q56(spark, sf):
     """Polygon overlay (geo-overlay) checked through the REAL Sutherland–
     Hodgman kernel: synthesized rectangles-as-polygons clipped against a
     fixed window; oracle is the closed-form rect∩rect area."""
-    r = T(spark, sf, "lineitem").selectExpr(
-        "l_orderkey * 10 + l_linenumber AS rid",
-        "((l_orderkey * 131 + l_partkey * 17) % 95000) / 10.0 AS rx0",
-        "((l_orderkey * 283 + l_suppkey * 19 + l_partkey * 7) % 95000) / 10.0 AS ry0",
-        "50.0 + (l_partkey % 450) AS rw",
-        "50.0 + ((l_partkey * 3 + l_suppkey * 11) % 450) AS rh",
-    )
+    r = T(spark, sf, "lineitem").selectExpr(*oracles.RECT_EXPRS)
     win = np.array([[4000.0, 5000.0], [6000.0, 5000.0], [6000.0, 7000.0], [4000.0, 7000.0]])
     from pyspark.sql.types import DoubleType
 
@@ -1017,6 +1005,9 @@ def q56(spark, sf):
             out[i] = geom.clip_area(ring, win)
         return pd.Series(out)
 
+    # a small parquet file scans as 1-2 partitions — spread the rows before
+    # the CPU-bound kernel (same discipline as overlay_join's kernel stage)
+    r = spatial._repartition_for_kernel(r)
     clipped = r.withColumn("a", clip_area_udf("rx0", "ry0", "rw", "rh"))
     return clipped.agg(
         F.round(F.sum("a"), 4).alias("total_area"),
@@ -1091,13 +1082,7 @@ def q67(spark, sf):
 def _rect_features(spark, sf, mod: int):
     """Synthesized rects as REAL polygon feature rows (rings/bbox) — the
     input shape of the distributed overlay join."""
-    r = T(spark, sf, "lineitem").selectExpr(
-        "l_orderkey * 10 + l_linenumber AS rid",
-        "((l_orderkey * 131 + l_partkey * 17) % 95000) / 10.0 AS rx0",
-        "((l_orderkey * 283 + l_suppkey * 19 + l_partkey * 7) % 95000) / 10.0 AS ry0",
-        "50.0 + (l_partkey % 450) AS rw",
-        "50.0 + ((l_partkey * 3 + l_suppkey * 11) % 450) AS rh",
-    ).filter(F.expr(f"rid % {mod} = 0"))
+    r = T(spark, sf, "lineitem").selectExpr(*oracles.RECT_EXPRS).filter(F.expr(f"rid % {mod} = 0"))
     # rid is not unique in the harness lineitem → deterministic MIN dedup
     r = r.groupBy("rid").agg(
         F.min("rx0").alias("rx0"),

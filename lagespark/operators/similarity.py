@@ -41,6 +41,14 @@ _NN_T = ArrayType(
 )
 
 
+def _repartition_for_kernel(df: DataFrame) -> DataFrame:
+    """Spread rows before a CPU-bound pandas UDF: AQE coalesces small-byte
+    shuffles to 1-2 partitions, which would serialize the kernel (see
+    lagespark.operators.spatial._repartition_for_kernel)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(max(par, min(8 * par, 256)))
+
+
 def _normalized(mat: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(mat, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -156,8 +164,8 @@ def cosine_pairs(
 def cosine_pairs_lsh(
     df: DataFrame,
     threshold: float,
-    planes: int = 6,
-    tables: int = 8,
+    planes: int = 10,
+    tables: int = 16,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -170,8 +178,12 @@ def cosine_pairs_lsh(
     shuffle, no all-pairs), and candidates refine with the exact cosine.
     Approximate: recall depends on (planes, tables) vs the threshold angle —
     sign-LSH collision prob per table is (1 - θ/π)^planes, OR-amplified
-    across tables. Defaults target near-dup thresholds (cos ≥ ~0.85);
-    injected-duplicate recall is asserted in tests."""
+    across tables. Defaults (10 planes × 16 tables) target near-dup
+    thresholds: cos ≥ 0.9 → per-table 0.21, recall ≈ 0.98; exact duplicates
+    (identical sketches) are always found. Size `planes` ≈ log2(N / desired
+    bucket occupancy) — candidate volume per table is Σ k_bucket², so
+    buckets must stay small as N grows. Injected-duplicate recall is
+    asserted in tests."""
     rng = np.random.default_rng(seed)
     pl = rng.normal(size=(tables, planes, dim))
 
@@ -187,20 +199,24 @@ def cosine_pairs_lsh(
             keys.append(val)
         return pd.Series(np.stack(keys, axis=1).tolist())
 
+    # skinny bucket join: ids only through the sketch explosion + self-join
+    # + dedup; embedding vectors join back per side AFTER dedup (one row per
+    # pair, not one per shared bucket)
     keyed = df.select(F.col(id_col), F.col(vec_col)).withColumn(
         "bucket", F.explode(sketches(F.col(vec_col)))
     )
-    a = keyed.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket"
-    )
-    b = keyed.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket"
-    )
-    cand = (
+    a = keyed.select(F.col(id_col).alias("a"), "bucket")
+    b = keyed.select(F.col(id_col).alias("b"), "bucket")
+    pairs = (
         a.join(b, "bucket")
         .filter(F.col("a") < F.col("b"))
         .dropDuplicates(["a", "b"])
     )
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    cand = pairs.join(
+        vecs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va")), "a"
+    ).join(vecs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb")), "b")
+    cand = _repartition_for_kernel(cand)
 
     @F.pandas_udf(DoubleType())
     def cos(x: pd.Series, y: pd.Series) -> pd.Series:

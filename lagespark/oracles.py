@@ -43,14 +43,14 @@ POINTS_SELECT = (
 
 # deterministic rect field (for overlay): 50-500 m boxes. Multipliers chosen
 # so the modulus wraps even at sf0.001 key ranges (suppkey alone is tiny).
-RECT_SELECT = (
-    "SELECT l_orderkey * 10 + l_linenumber AS rid, "
-    "CAST((l_orderkey * 131 + l_partkey * 17) % 95000 AS DOUBLE) / 10.0 AS rx0, "
-    "CAST((l_orderkey * 283 + l_suppkey * 19 + l_partkey * 7) % 95000 AS DOUBLE) / 10.0 AS ry0, "
-    "50.0 + CAST(l_partkey % 450 AS DOUBLE) AS rw, "
-    "50.0 + CAST((l_partkey * 3 + l_suppkey * 11) % 450 AS DOUBLE) AS rh "
-    "FROM lineitem"
+RECT_EXPRS = (
+    "l_orderkey * 10 + l_linenumber AS rid",
+    "CAST((l_orderkey * 131 + l_partkey * 17) % 95000 AS DOUBLE) / 10.0 AS rx0",
+    "CAST((l_orderkey * 283 + l_suppkey * 19 + l_partkey * 7) % 95000 AS DOUBLE) / 10.0 AS ry0",
+    "50.0 + CAST(l_partkey % 450 AS DOUBLE) AS rw",
+    "50.0 + CAST((l_partkey * 3 + l_suppkey * 11) % 450 AS DOUBLE) AS rh",
 )
+RECT_SELECT = "SELECT " + ", ".join(RECT_EXPRS) + " FROM lineitem"
 
 
 def _f(v: float) -> str:

@@ -190,3 +190,28 @@ def test_minhash_fast_vs_md5_candidates(spark):
     }
     assert exact, "fixture must inject exact duplicates"
     assert exact <= fast_pairs
+
+
+@pytest.mark.parametrize("bits,maxh", [(16, 1), (16, 3), (24, 2), (12, 4)])
+def test_hamming_pairs_matches_bruteforce_params(spark, bits, maxh):
+    from lagespark.operators import dedup
+
+    mask = (1 << bits) - 1
+    rows = [(i, (i * 2654435761 + 17) % (mask + 1)) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    banded = {
+        (r.a, r.b)
+        for r in dedup.hamming_pairs(df, "simhash", bits=bits, max_hamming=maxh).collect()
+    }
+    a = df.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+    b = df.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+    naive = {
+        (r.a, r.b)
+        for r in a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("h", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("h") <= maxh)
+        .select("a", "b")
+        .collect()
+    }
+    assert banded == naive

@@ -164,3 +164,39 @@ def test_prop_self_intersection_is_identity(ring):
     assert geom.intersection_area([ring], [ring]) == pytest.approx(
         geom.ring_area(ring), rel=1e-6
     )
+
+
+def test_rect_fastpath_equals_generic_clip():
+    """The axis-aligned rect∩rect short-circuit must equal the generic
+    Sutherland–Hodgman result for random rect pairs (and the closed-form
+    overlap product)."""
+    rng = np.random.default_rng(11)
+    for _ in range(300):
+        x0, y0, x1, y1 = rng.uniform(0, 1000, 4)
+        a = np.array(
+            [[min(x0, x1), min(y0, y1)], [max(x0, x1) + 1, min(y0, y1)],
+             [max(x0, x1) + 1, max(y0, y1) + 1], [min(x0, x1), max(y0, y1) + 1]]
+        )
+        u0, v0, u1, v1 = rng.uniform(0, 1000, 4)
+        b = np.array(
+            [[min(u0, u1), min(v0, v1)], [max(u0, u1) + 1, min(v0, v1)],
+             [max(u0, u1) + 1, max(v0, v1) + 1], [min(u0, u1), max(v0, v1) + 1]]
+        )
+        fast = geom.intersection_area([a], [b])
+        generic = geom.clip_area(a, b)  # generic SH path directly
+        w = min(a[:, 0].max(), b[:, 0].max()) - max(a[:, 0].min(), b[:, 0].min())
+        h = min(a[:, 1].max(), b[:, 1].max()) - max(a[:, 1].min(), b[:, 1].min())
+        closed = w * h if (w > 0 and h > 0) else 0.0
+        assert abs(fast - closed) < 1e-9
+        assert abs(fast - generic) < 1e-6 * max(fast, 1.0)
+
+
+def test_axis_rect_bounds_rejects_non_rects():
+    tri = np.array([[0.0, 0.0], [4.0, 0.0], [2.0, 3.0]])
+    rot = np.array([[0.0, 1.0], [1.0, 0.0], [2.0, 1.0], [1.0, 2.0]])  # diamond
+    degen = np.array([[0.0, 0.0], [0.0, 0.0], [0.0, 1.0], [0.0, 1.0]])
+    assert geom.axis_rect_bounds(tri) is None
+    assert geom.axis_rect_bounds(rot) is None
+    assert geom.axis_rect_bounds(degen) is None
+    rect = np.array([[1.0, 2.0], [5.0, 2.0], [5.0, 7.0], [1.0, 7.0]])
+    assert geom.axis_rect_bounds(rect) == (1.0, 2.0, 5.0, 7.0)

@@ -5,8 +5,28 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from lagespark.harness import ORACLES, QUERIES, T, q
-from lagespark.operators import dedup, similarity, text
+from lagespark import oracles
+from lagespark.harness import ORACLES, QUERIES, T, points_df, q
+from lagespark.operators import dedup, similarity, spatial, text
+
+
+@q(
+    "q69-geo-knn-points",
+    "WITH pts AS (" + oracles.POINTS_SELECT + "), "
+    "q AS (SELECT * FROM pts WHERE pid % 101 = 0), "
+    "cand AS (SELECT q.pid AS qid, t.pid AS nn_id, "
+    "ROUND(SQRT(POWER(q.x - t.x, 2) + POWER(q.y - t.y, 2)), 6) AS dist "
+    "FROM q, pts t WHERE t.pid <> q.pid) "
+    "SELECT qid, nn_id, dist, CAST(rank AS INT) AS rank FROM ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nn_id) AS rank "
+    "FROM cand) WHERE rank <= 3",
+)
+def q69(spark, sf):
+    """EXACT data-scale point×point kNN join (ring-expansion over grid
+    cells; neither side broadcast) — oracle is the quadratic window-rank."""
+    pts = points_df(spark, sf)
+    qs = pts.filter(F.col("pid") % 101 == 0)
+    return spatial.knn_join_points(qs, pts, k=3, cell_size=250.0)
 
 # ===========================================================================
 # deduplication

@@ -383,6 +383,113 @@ def range_join(
     return l.join(r, "cell").where(dist < d).drop("cell").withColumn("dist", F.round(dist, 6))
 
 
+def knn_join_points(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 3,
+    cell_size: float = 250.0,
+    id_col: str = "pid",
+    x: str = "x",
+    y: str = "y",
+    round_to: int = 6,
+    max_rounds: int = 6,
+) -> DataFrame:
+    """EXACT k-nearest-neighbor join between two DATA-SCALE point sets
+    (neither side broadcastable) — the missing sibling of knn_join (which
+    assumes a config-scale feature list). Ring-expansion strategy:
+
+      round i: each still-unfinished query explodes to the (2r+1)² grid
+      cells within Chebyshev radius r of its own cell (NATIVE
+      sequence/explode arithmetic), equi-joins targets on the cell, and
+      ranks candidates by (rounded distance, id). A query is DONE when it
+      has ≥ k candidates AND its k-th distance < r·cell_size — no point in
+      an unexplored cell can beat that (cells at Chebyshev distance > r are
+      ≥ r·cell_size away). Unfinished queries continue with r doubled;
+      the pending set shrinks geometrically (a tiny driver count per round).
+
+    Scale shape: each round is one shuffle keyed on uniform cell ids; the
+    target side is never replicated (queries explode, targets don't), and
+    only unfinished queries pay for wider rings. Returns
+    (qid, nn_id, dist, rank). Ties break deterministically on (dist, id).
+    Queries with fewer than k reachable targets after max_rounds return
+    what exists (flagged exact=false in the rank ordering contract)."""
+    from pyspark.sql import Window
+
+    t = with_grid_cell(targets, x, y, cell_size).select(
+        F.col(id_col).alias("nn_id"),
+        F.col(x).alias("tx"),
+        F.col(y).alias("ty"),
+        "cell",
+    )
+    pending = with_grid_cell(queries, x, y, cell_size).select(
+        F.col(id_col).alias("qid"),
+        F.col(x).alias("qx"),
+        F.col(y).alias("qy"),
+        F.col("cell").alias("qcell"),
+    )
+    results = None
+    r = 1
+    for _ in range(max_rounds):
+        qi = (F.col("qcell") / F.lit(1 << cells.GRID_SHIFT)).cast("long")
+        qj = F.col("qcell") % F.lit(1 << cells.GRID_SHIFT)
+        cand_cells = (
+            pending.select(
+                "qid",
+                "qx",
+                "qy",
+                "qcell",
+                F.explode(F.sequence(qi - r, qi + r)).alias("ci"),
+            )
+            .select(
+                "qid",
+                "qx",
+                "qy",
+                "ci",
+                F.explode(F.sequence(qj - r, qj + r)).alias("cj"),
+            )
+            .select(
+                "qid",
+                "qx",
+                "qy",
+                (F.col("ci") * F.lit(1 << cells.GRID_SHIFT) + F.col("cj")).alias(
+                    "cell"
+                ),
+            )
+        )
+        dist = F.round(
+            F.sqrt((F.col("qx") - F.col("tx")) ** 2 + (F.col("qy") - F.col("ty")) ** 2),
+            round_to,
+        )
+        cand = (
+            cand_cells.join(t, "cell")
+            .filter(F.col("qid") != F.col("nn_id"))
+            .withColumn("dist", dist)
+        )
+        w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("nn_id"))
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nn_id", "dist", "rank")
+        )
+        kth = topk.groupBy("qid").agg(
+            F.max("dist").alias("kd"), F.count(F.lit(1)).alias("nc")
+        )
+        # STRICT <: a point in an unexplored cell can sit at exactly
+        # r·cell_size (lattice coordinates) and tie-break ahead on id
+        done = kth.filter(
+            (F.col("nc") >= k) & (F.col("kd") < F.lit(float(r) * cell_size))
+        ).select("qid")
+        finished = topk.join(done, "qid").localCheckpoint(eager=False)
+        results = finished if results is None else results.unionByName(finished)
+        pending = pending.join(done, pending.qid == done.qid, "left_anti")
+        n_pending = pending.count()  # tiny driver action per round
+        if n_pending == 0:
+            return results
+        r *= 2
+    # max_rounds exhausted: emit best-effort for the stragglers (sparse data)
+    return results.unionByName(topk.join(done, "qid", "left_anti")) if results is not None else topk
+
+
 def knn_join(
     queries: DataFrame,
     targets: FeatureSet,

@@ -173,3 +173,62 @@ def test_auto_salt_factor(spark):
     )
     u = spatial.auto_salt_factor(uniform, target_rows_per_partition=500)
     assert u <= s
+
+
+def test_knn_join_points_exact_vs_bruteforce(spark):
+    """Ring-expansion kNN == quadratic brute force, on a mix of dense
+    clusters and far-flung outliers (outliers force several radius-doubling
+    rounds; ties break on (dist, id) in both paths)."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lagespark.operators import spatial
+
+    rng = np.random.default_rng(3)
+    pts = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+        np.column_stack([rng.uniform(0, 2000, 150), rng.uniform(0, 2000, 150)])
+    )]
+    # outliers several cells away (force r = 1 -> 2 -> 4 expansion)
+    pts += [(1000, 9000.0, 9000.0), (1001, 9400.0, 9400.0), (1002, 12000.0, 500.0)]
+    # exact-tie pair: equidistant neighbors, id decides
+    pts += [(2000, 5000.0, 5000.0), (2001, 5100.0, 5000.0), (2002, 4900.0, 5000.0)]
+    df = spark.createDataFrame(pts, "pid long, x double, y double")
+
+    got = spatial.knn_join_points(df, df, k=3, cell_size=250.0).toPandas()
+    got_set = {(r.qid, r.nn_id, r.rank) for r in got.itertuples()}
+
+    a = df.selectExpr("pid AS qid", "x AS qx", "y AS qy")
+    b = df.selectExpr("pid AS nn_id", "x AS tx", "y AS ty")
+    d = F.round(F.sqrt((F.col("qx") - F.col("tx")) ** 2 + (F.col("qy") - F.col("ty")) ** 2), 6)
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("nn_id"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("qid") != F.col("nn_id"))
+        .withColumn("dist", d)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .toPandas()
+    )
+    brute_set = {(r.qid, r.nn_id, r.rank) for r in brute.itertuples()}
+    assert got_set == brute_set
+    assert len(got) == len(pts) * 3
+
+
+def test_knn_join_points_plan_no_cartesian(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from lagespark import harness, oracles
+    from lagespark.operators import spatial
+
+    pts = harness.points_df(spark, "/root/testdata/sf0.001")
+    qs = pts.filter(F.col("pid") % 101 == 0)
+    df = spatial.knn_join_points(qs, pts, k=3)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("simple")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

@@ -274,9 +274,15 @@ def minhash_jaccard_pairs(
     pairs = cand.join(
         sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a")), "a"
     ).join(sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b")), "b")
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_distinct(F.concat("sh_a", "sh_b"))
-    )
+    na = F.size("sh_a")
+    nb = F.size("sh_b")
+    # size-ratio prune: |A∩B| ≤ min and |A∪B| ≥ max ⇒ J ≤ min/max — pairs
+    # failing it natively skip the expensive intersect entirely
+    pairs = pairs.filter(F.least(na, nb) / F.greatest(na, nb) >= threshold)
+    ninter = F.size(F.array_intersect("sh_a", "sh_b"))
+    # inclusion-exclusion union size: same ints (shingle arrays are distinct
+    # sets), same division — and no array_distinct(concat) materialization
+    jac = ninter / (na + nb - ninter)
     return (
         pairs.withColumn("raw_jac", jac)
         .filter(F.col("raw_jac") >= threshold)

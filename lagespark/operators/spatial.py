@@ -475,10 +475,17 @@ def knn_join_points(
             F.max("dist").alias("kd"), F.count(F.lit(1)).alias("nc")
         )
         # STRICT <: a point in an unexplored cell can sit at exactly
-        # r·cell_size (lattice coordinates) and tie-break ahead on id
-        done = kth.filter(
-            (F.col("nc") >= k) & (F.col("kd") < F.lit(float(r) * cell_size))
-        ).select("qid")
+        # r·cell_size (lattice coordinates) and tie-break ahead on id.
+        # Checkpointed: `done` feeds BOTH the results union and the pending
+        # anti-join — without truncation each round would recompute the
+        # whole window/rank and lineage would double per round.
+        done = (
+            kth.filter(
+                (F.col("nc") >= k) & (F.col("kd") < F.lit(float(r) * cell_size))
+            )
+            .select("qid")
+            .localCheckpoint(eager=False)
+        )
         finished = topk.join(done, "qid").localCheckpoint(eager=False)
         results = finished if results is None else results.unionByName(finished)
         pending = pending.join(done, pending.qid == done.qid, "left_anti")

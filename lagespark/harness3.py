@@ -137,6 +137,17 @@ def q85(spark, sf):
     return image_ops.phash_neardup_pairs(imgs, max_hamming=6)
 
 
+@q("q85b-img-dedup-corpus")
+def q85b(spark, sf):
+    """End-to-end image dedup FILTER: pHash banded pairs → components →
+    keep one representative per duplicate cluster (kept-count exactness vs
+    injected duplicates asserted in tests)."""
+    image_ops.set_image_batching(spark)
+    imgs = image_ops.generate_with_neardups(spark, min(_n_images(sf), 2000))
+    kept = image_ops.phash_dedup_corpus(imgs, max_hamming=6)
+    return kept.select("image_id", "fmt", "w", "h")
+
+
 @q("q64-multimodal-stub")
 def q64(spark, sf):
     """Audio/video metadata plumbing with STUBBED codec (deterministic fake

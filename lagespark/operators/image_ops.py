@@ -338,6 +338,22 @@ def phash_neardup_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     )
 
 
+def phash_dedup_corpus(images: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """End-to-end IMAGE near-duplicate corpus FILTER (the image twin of
+    dedup.dedup_corpus): pHash banded pairs → connected components → keep
+    each cluster's lexicographically-minimum image_id + all unclustered
+    images. The image table (payloads included) is only ever anti-joined —
+    it never shuffles its binary column through the pair machinery."""
+    from lagespark.operators import dedup
+
+    pairs = phash_neardup_pairs(images, max_hamming).select("a", "b")
+    comp = dedup.duplicate_components(pairs)
+    losers = comp.filter(F.col("doc") != F.col("component")).select(
+        F.col("doc").alias("image_id")
+    )
+    return images.join(losers, "image_id", "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # multimodal stubs (audio/video) — plumbing real, codec faked
 # ---------------------------------------------------------------------------

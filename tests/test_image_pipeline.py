@@ -131,3 +131,44 @@ def test_phash_neardup_detection(spark):
     assert want <= got, want - got
     extras = got - want
     assert not extras, f"false near-dup pairs: {extras}"
+
+
+def test_phash_dedup_corpus_keeps_one_per_cluster(spark):
+    """q85b shape: every injected (dupX, imgX) cluster keeps exactly ONE
+    representative; unclustered images all survive; no surviving near-dup
+    pair remains."""
+    from lagespark.operators import image_ops
+
+    image_ops.set_image_batching(spark)
+    imgs = image_ops.generate_with_neardups(spark, 300, partitions=4, dup_every=10)
+    n_total = imgs.count()
+    kept = image_ops.phash_dedup_corpus(imgs, max_hamming=6)
+    kept_ids = {r.image_id for r in kept.select("image_id").collect()}
+
+    pairs = image_ops.phash_neardup_pairs(imgs, max_hamming=6).toPandas()
+    clustered = set(pairs["a"]) | set(pairs["b"])
+    # unclustered images all survive
+    all_ids = {r.image_id for r in imgs.select("image_id").collect()}
+    assert (all_ids - clustered) <= kept_ids
+    # no surviving near-dup pair
+    for r in pairs.itertuples():
+        assert not (r.a in kept_ids and r.b in kept_ids), (r.a, r.b)
+    # kept count == total - (cluster sizes - 1) summed: hand-rolled union-find
+    parent = {}
+
+    def find(u):
+        parent.setdefault(u, u)
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for r in pairs.itertuples():
+        ra, rb = find(r.a), find(r.b)
+        if ra != rb:
+            parent[ra] = rb
+    from collections import Counter
+
+    sizes = Counter(find(u) for u in clustered)
+    expected_kept = n_total - sum(s - 1 for s in sizes.values())
+    assert len(kept_ids) == expected_kept

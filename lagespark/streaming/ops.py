@@ -261,10 +261,11 @@ def clicks_after_signup(
 # -- stream-static spatial join (s06) -----------------------------------------
 
 
-def zone_of_events(events: DataFrame) -> DataFrame:
+def zone_of_events(events: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Stream-static join shape: events get a synthetic location (from keys,
     same derivation as the geo harness) and a Lagefaktor zone from the
-    broadcast static feature set."""
+    broadcast static feature set. `keep` carries extra input columns (e.g.
+    ts for downstream windowing) through unchanged."""
     from lagespark import fixtures
     from lagespark.operators import spatial
 
@@ -274,4 +275,32 @@ def zone_of_events(events: DataFrame) -> DataFrame:
         "x", F.expr("CAST((event_id * 9973) % 100000 AS DOUBLE) / 10.0 + 0.05")
     ).withColumn("y", F.expr("CAST((event_id * 7919) % 100000 AS DOUBLE) / 10.0 + 0.05"))
     bf = spatial.FeatureSet(fixtures.baufeld_pdf())
-    return spatial.with_zone(pts, bf).select("event_id", "event_type", "zone", "value")
+    return spatial.with_zone(pts, bf).select(
+        "event_id", "event_type", "zone", "value", *keep
+    )
+
+
+def spatiotemporal_rollup_stream(
+    events: DataFrame, width: str = "1 hour", late: str = "10 minutes"
+) -> DataFrame:
+    """CONTINUOUS spatiotemporal aggregate — the streaming twin of q95's
+    zone × time-bucket rollup (the hypertable continuous-aggregate shape):
+    watermarked windowed agg in APPEND mode, so each (bucket, zone) group
+    emits EXACTLY ONCE when the watermark passes the window end. Feed the
+    result to sink.write_stream_checkpointed for an incrementally
+    materialized, partition-pruned rollup table; finalized buckets are
+    immutable, so appends are safe and replays are idempotent."""
+    z = zone_of_events(events, keep=("ts",)).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        z.withWatermark("ts", late)
+        .groupBy(F.window("ts", width).alias("win"), "zone")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.unix_micros(F.col("win.start").cast("timestamp")).alias("bucket_us"),
+            "zone",
+            "n",
+            "total",
+        )
+    )

@@ -384,6 +384,78 @@ def test_stateful_session_event_time_timeout(spark, tmpdir):
     assert closed7.n.iloc[0] == 2 and closed7.total.iloc[0] == pytest.approx(5.0)
 
 
+def test_continuous_rollup_materialization(spark, tmpdir):
+    """Continuous aggregate: the streaming zone×bucket rollup, materialized
+    incrementally through the checkpointed sink, equals the BATCH rollup for
+    every bucket the watermark has closed — across two appends and a query
+    restart (idempotent replay)."""
+    from lagespark.streaming import sink as ss
+
+    src = f"{tmpdir}/cr_src"
+    out = f"{tmpdir}/cr_out"
+    ck = f"{tmpdir}/cr_ck"
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    batch1 = [(i, t0 + pd.Timedelta(minutes=7 * i), i % 5, "a", float(i), "{}")
+              for i in range(20)]  # spans ~2.3 hours
+    # ONE file per append: each append is one micro-batch, so the watermark
+    # only advances BETWEEN appends (multi-file appends process in arbitrary
+    # order and would drop same-append rows behind a racing watermark)
+    _mk_events(spark, batch1).coalesce(1).write.parquet(src, mode="overwrite")
+
+    def start():
+        return ss.write_stream_checkpointed(
+            ops.spatiotemporal_rollup_stream(ops.read_events_stream(spark, src)),
+            out, ck, "zone",
+        )
+
+    q = start(); q.awaitTermination(120)
+    # second append: later events ADVANCE the watermark past batch-1 buckets
+    batch2 = [(100 + i, t0 + pd.Timedelta(hours=3, minutes=11 * i), i % 5, "a", 1.0, "{}")
+              for i in range(6)]
+    _mk_events(spark, batch2).coalesce(1).write.parquet(src, mode="append")
+    q2 = start(); q2.awaitTermination(120)
+    # third append: a far-future sentinel closes batch-2's buckets
+    _mk_events(spark, [(999, t0 + pd.Timedelta(days=2), 1, "a", 0.0, "{}")]).coalesce(
+        1
+    ).write.parquet(src, mode="append")
+    q3 = start(); q3.awaitTermination(120)
+    # restart with no new data → replay must not duplicate finalized buckets
+    q4 = start(); q4.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["bucket_us", "zone"])
+        .reset_index(drop=True)
+    )
+    assert not got.duplicated(["bucket_us", "zone"]).any()
+
+    # batch-mode reference over the SAME events, restricted to buckets the
+    # final watermark (sentinel - 10min late) closed
+    all_events = spark.read.parquet(src)
+    z = ops.zone_of_events(all_events, keep=("ts",)).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ref = (
+        z.groupBy(F.window("ts", "1 hour").alias("win"), "zone")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.unix_micros(F.col("win.start").cast("timestamp")).alias("bucket_us"),
+            "zone", "n", "total",
+        )
+        .toPandas()
+    )
+    wm_us = int((t0 + pd.Timedelta(days=2) - pd.Timedelta(minutes=10)).value // 1000)
+    closed = ref[ref.bucket_us + 3_600_000_000 <= wm_us]
+    closed = closed.sort_values(["bucket_us", "zone"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["bucket_us", "zone", "n", "total"]],
+        closed[["bucket_us", "zone", "n", "total"]],
+        check_dtype=False,
+    )
+    assert len(got) > 0
+
+
 def test_rate_source_to_events_shape(spark, tmpdir):
     """src-stream: the built-in rate source cast to the events shape
     (SURVEY §2.1) — synthetic infinite ingest for soak tests."""

@@ -184,6 +184,8 @@ def cosine_pairs_lsh(
     bucket occupancy) — candidate volume per table is Σ k_bucket², so
     buckets must stay small as N grows. Injected-duplicate recall is
     asserted in tests."""
+    if tables > 16 or planes > 59:
+        raise ValueError("sketch key packs t<<59 | planes: tables<=16, planes<=59")
     rng = np.random.default_rng(seed)
     pl = rng.normal(size=(tables, planes, dim))
 
@@ -193,7 +195,10 @@ def cosine_pairs_lsh(
         keys = []
         for t in range(tables):
             signs = (m @ pl[t].T) > 0
-            val = np.full(len(m), t << 60, dtype=np.int64)
+            # t << 59 (not 60): fits int64 for tables<=16 (15<<59 < 2^63) and
+            # stays disjoint from the plane bits; t<<60 overflows for t>=8
+            # (NumPy >=2.0 raises OverflowError in the executor UDF)
+            val = np.full(len(m), t << 59, dtype=np.int64)
             for j in range(planes):
                 val |= signs[:, j].astype(np.int64) << j
             keys.append(val)
@@ -272,8 +277,17 @@ def ivf_topk(
     window rank. At scale both sides shuffle once on the bucket id.
 
     The k-means index trains on a CAPPED driver-side sample (`train_rows`,
-    standard IVF practice) — never the full table."""
-    sample = targets.select(vec_col).limit(train_rows).toPandas()
+    standard IVF practice) — never the full table. The sample is a seeded
+    pseudo-random draw (order by xxhash64 of the id, a distributed top-k),
+    not limit(): limit takes the first partitions, which on sorted/clustered
+    tables would train centroids that miss whole regions of the space."""
+    sample = (
+        targets.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(train_rows)
+        .select(vec_col)
+        .toPandas()
+    )
     cent = kmeans_centroids(np.stack(sample[vec_col].to_numpy()), n_centroids, seed=seed)
 
     @F.pandas_udf(LongType())
@@ -331,6 +345,8 @@ def lsh_topk(
     to `tables` bucket keys; candidates dedup before refine) — the standard
     recall lever for sign-LSH. The bucket join is the 100 TB path: both
     sides shuffle on (table, sketch)."""
+    if tables > 16 or planes > 59:
+        raise ValueError("sketch key packs t<<59 | planes: tables<=16, planes<=59")
     rng = np.random.default_rng(seed)
     pl = rng.normal(size=(tables, planes, dim))
 
@@ -342,7 +358,8 @@ def lsh_topk(
         keys = []
         for t in range(tables):
             signs = (m @ pl[t].T) > 0  # (B, planes)
-            val = np.full(len(m), t << 60, dtype=np.int64)
+            # t << 59: see cosine_pairs_lsh — t<<60 overflows int64 for t>=8
+            val = np.full(len(m), t << 59, dtype=np.int64)
             for j in range(planes):
                 val |= signs[:, j].astype(np.int64) << j
             keys.append(val)

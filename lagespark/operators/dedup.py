@@ -35,12 +35,20 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingle_col(text_col: str = "text", n: int = 3):
-    """Distinct character n-gram shingles as a native array column."""
-    return F.array_distinct(
+    """Distinct character n-gram shingles as a native array column.
+
+    Texts shorter than n (and NULL) yield an EMPTY array: Spark's
+    sequence(1, 0) counts DOWN ([1, 0]) where DuckDB's range(1, 1) is empty,
+    so the guard keeps both dialects (and the size()>0 null filter in the
+    minhash paths) agreeing on which docs have no shingles."""
+    arr = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.length(F.col(text_col)) - (n - 1)),
             lambda i: F.col(text_col).substr(i, F.lit(n)),
         )
+    )
+    return F.when(F.length(F.col(text_col)) >= n, arr).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -80,7 +88,15 @@ def minhash_signature(
         # array INDEX, silently corrupting the permutation
         return lambda h: F.substring(h, 2 * p + 1, 15)
 
-    sh = df.select(F.col(id_col), shingle_col(text_col, n).alias("shs"))
+    # drop docs with null/empty shingle sets: array_min over an empty/null
+    # array is NULL, and concat_ws/xxhash64 skip nulls — without this filter
+    # every null-text doc would share identical band keys in ALL bands and
+    # emit as a candidate pair with every other null-text doc. The DuckDB
+    # oracle's unnest drops these rows naturally, so the filter also keeps
+    # the dialects aligned. size(NULL) = -1, so > 0 covers both cases.
+    sh = df.select(F.col(id_col), shingle_col(text_col, n).alias("shs")).filter(
+        F.size("shs") > 0
+    )
     hs = sh.select(
         F.col(id_col), F.transform(F.col("shs"), lambda s: F.md5(s)).alias("hs")
     )
@@ -165,7 +181,10 @@ def minhash_pairs_fast(
         # one-parameter lambda via closure factory (see minhash_signature)
         return lambda s: F.xxhash64(F.lit(p), s)
 
-    sh = df.select(F.col(id_col), shingle_col(text_col, n).alias("shs"))
+    # null/empty-shingle filter — same rationale as minhash_signature
+    sh = df.select(F.col(id_col), shingle_col(text_col, n).alias("shs")).filter(
+        F.size("shs") > 0
+    )
     sig = sh.select(
         F.col(id_col),
         *[
@@ -347,7 +366,9 @@ def hamming_pairs(
     )
 
 
-def duplicate_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def duplicate_components(
+    pairs: DataFrame, max_iters: int = 20, check_every: int = 2
+) -> DataFrame:
     """(a, b) candidate-duplicate pairs → (doc, component) where component is
     the minimum doc id reachable through the pair graph (the canonical
     representative each duplicate cluster keeps).
@@ -361,7 +382,11 @@ def duplicate_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     ONE job per round: the previous label is folded into the round's plan and
     the convergence count runs on the LAZY localCheckpoint, so a single
     action both materializes the checkpoint (truncating lineage) and returns
-    the changed-count — no second recompute job per round."""
+    the changed-count — no second recompute job per round. Pointer doubling
+    makes single-round convergence checks mostly redundant (the remaining
+    diameter halves each round), so the count action only fires every
+    `check_every` rounds — the uncounted rounds stay fully lazy and
+    materialize inside the next counted round's single job."""
     edges = (
         pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionByName(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
@@ -376,7 +401,7 @@ def duplicate_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("label", F.col("node"))
     )
     labels = labels.localCheckpoint(eager=False)
-    for _ in range(max_iters):
+    for it in range(max_iters):
         cur = labels.select("node", "label")
         neigh = edges.join(cur, edges.v == cur.node).select(
             F.col("u").alias("node"), "label"
@@ -397,13 +422,14 @@ def duplicate_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         staged = merged.join(
             labels.select("node", F.col("label").alias("_old")), "node"
         ).localCheckpoint(eager=False)
-        # this count is the round's ONLY action: it materializes `staged`
-        # (lazy checkpoint → lineage truncated for the next round) and
-        # returns the convergence metric in the same job
-        changed = staged.filter(F.col("label") != F.col("_old")).count()
         labels = staged
-        if changed == 0:
-            break
+        if (it + 1) % check_every == 0 or it == max_iters - 1:
+            # the only action in `check_every` rounds: one job materializes
+            # every stacked lazy checkpoint (truncating lineage) AND returns
+            # the convergence metric
+            changed = staged.filter(F.col("label") != F.col("_old")).count()
+            if changed == 0:
+                break
     return labels.select(F.col("node").alias("doc"), F.col("label").alias("component"))
 
 

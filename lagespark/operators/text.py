@@ -112,7 +112,10 @@ def sample_hash_expr(col: str, dialect: str, rate_hex4: str = "2000", seed: str 
     scale/partitioning, and stable under re-runs — the sampling primitive a
     training-data pipeline needs (row-position sampling is neither)."""
     fn = "substring" if dialect == "spark" else "substr"
-    return f"({fn}(md5(concat('{seed}|', {col})), 1, 4) < '{rate_hex4}')"
+    # coalesce: Spark's concat returns NULL on any NULL arg (row filtered
+    # out) while DuckDB's concat skips NULL args (row hashed as md5('s1|')
+    # and possibly kept) — NULL text must sample identically in both dialects
+    return f"({fn}(md5(concat('{seed}|', coalesce({col}, ''))), 1, 4) < '{rate_hex4}')"
 
 
 def fingerprint_expr(col: str, dialect: str, mod: int = 1_000_000_007) -> str:

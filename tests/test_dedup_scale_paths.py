@@ -103,6 +103,23 @@ def test_minhash_fast_finds_injected_duplicates(spark):
     assert {(100, 102), (100, 103), (101, 102), (101, 103)} & near
 
 
+def test_minhash_null_and_empty_text_emit_no_pairs(spark):
+    """ADVICE round 2: null/empty-text docs must NOT band together (an
+    all-null signature would give every such doc identical band keys in all
+    bands → spurious all-pairs). Both the md5-oracle and the fast path must
+    drop them before banding."""
+    from lagespark.operators import dedup
+
+    rows = [(1, None), (2, None), (3, ""), (4, "ab"), (5, "real text one"),
+            (6, "real text one")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn in (dedup.minhash_pairs, dedup.minhash_pairs_fast):
+        pairs = {(r.a, r.b) for r in fn(df, perms=8, band_rows=2).collect()}
+        assert (5, 6) in pairs, f"{fn.__name__} must keep real duplicates"
+        bad = {p for p in pairs if p[0] in (1, 2, 3) or p[1] in (1, 2, 3)}
+        assert not bad, f"{fn.__name__} emitted null/empty-text pairs: {bad}"
+
+
 def test_lsh_jaccard_pipeline_precision_and_recall(spark):
     """q71b shape: every emitted pair verifies (precision exact); injected
     exact duplicates are all recovered (recall on jaccard=1.0 pairs is 1 —

@@ -251,6 +251,37 @@ def s2_cell_corners(cell: np.ndarray):
     return lat, lon
 
 
+def s2_cell_boundary(cell: np.ndarray, samples_per_edge: int = 2):
+    """Cell ids → (lat, lon) of shape (N, 4·samples_per_edge): points sampled
+    uniformly (in st space) along the cell boundary, corners included.
+    samples_per_edge=1 reproduces s2_cell_corners; =2 adds the four edge
+    midpoints, which bounds the planar footprint of the CURVED cell edges
+    ~4× tighter than corners alone — the exact polyfill uses this so its
+    residual pad no longer has to absorb full edge curvature."""
+    face, i, j, level = s2_decode_ij(cell)
+    n = 1 << level
+    fr = np.arange(samples_per_edge, dtype=np.float64) / samples_per_edge
+    one = np.ones_like(fr)
+    zero = np.zeros_like(fr)
+    di = np.concatenate([fr, one, 1.0 - fr, zero])
+    dj = np.concatenate([zero, fr, one, 1.0 - fr])
+    u = _st_to_uv((i[:, None].astype(np.float64) + di[None, :]) / n)
+    v = _st_to_uv((j[:, None].astype(np.float64) + dj[None, :]) / n)
+    x = np.empty_like(u)
+    y = np.empty_like(u)
+    z = np.empty_like(u)
+    facem = np.repeat(face[:, None], u.shape[1], axis=1)
+    for f, fn in _FACE_XYZ.items():
+        m = facem == f
+        if m.any():
+            xf, yf, zf = fn(u[m], v[m])
+            x[m], y[m], z[m] = xf, yf, zf
+    r = np.sqrt(x * x + y * y + z * z)
+    lat = np.degrees(np.arcsin(z / r))
+    lon = np.degrees(np.arctan2(y, x))
+    return lat, lon
+
+
 def s2_cover_bbox(
     lat_min: float, lon_min: float, lat_max: float, lon_max: float, level: int = 15
 ) -> np.ndarray:

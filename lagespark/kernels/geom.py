@@ -35,6 +35,21 @@ import numpy as np
 Ring = np.ndarray  # (N, 2) float64, open (no repeated closing vertex)
 
 
+def rings_from_flat(xs, ys, nv) -> list[Ring]:
+    """Rebuild a ring list from FLAT coordinate arrays: `xs`/`ys` are the
+    concatenated vertex coordinates of every ring, `nv` the per-ring vertex
+    counts. This is the Arrow-friendly polygon wire format the distributed
+    operators ship (array<double> columns convert to numpy in one C pass;
+    array<array<struct<x,y>>> would unpack per-POINT through Python dicts)."""
+    pts = np.stack(
+        [np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64)], axis=1
+    )
+    nv = np.asarray(nv, dtype=np.int64)
+    if len(nv) == 1:
+        return [pts]
+    return np.split(pts, np.cumsum(nv[:-1]))
+
+
 # ---------------------------------------------------------------------------
 # areas / orientation / bbox
 # ---------------------------------------------------------------------------

@@ -64,12 +64,12 @@ def zone_area_pieces(
 
     def per_feature(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for _, r in pdf.iterrows():
+        for r in pdf.itertuples(index=False):
             rings = [
                 np.array([[p["x"], p["y"]] for p in ring], dtype=np.float64)
-                for ring in r["rings"]
+                for ring in r.rings
             ]
-            fid = r["feature_id"]
+            fid = r.feature_id
             total = geom.polygon_area(rings)
             # biotope overlap of the whole feature (for outer-zone remainder)
             bt_total = {
@@ -80,7 +80,7 @@ def zone_area_pieces(
             acc: dict[tuple[int, float], float] = {}
             bt_inner = {bt_id: 0.0 for bt_id, _, _ in bt_polys}
             zone_inner = 0.0
-            bbox = (r["xmin"], r["ymin"], r["xmax"], r["ymax"])
+            bbox = (r.xmin, r.ymin, r.xmax, r.ymax)
             sel = strips[
                 (strips[:, 0] < bbox[2])
                 & (strips[:, 2] > bbox[0])

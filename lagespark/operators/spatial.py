@@ -175,9 +175,13 @@ def s2_feature_cover_df(
     (kernels.cells.s2_cover_bbox). With exact=True, the EXACT polyfill: each
     candidate cell's spherical footprint is mapped back to planar meters and
     clip-tested against the polygon outer ring — cells that provably miss the
-    feature are dropped (same test as the grid path's exact cover). The cell
-    footprint is conservatively padded by 1% per side for the (sub-ulp at
-    level 15) curvature of cell edges under the CRS affine."""
+    feature are dropped (same test as the grid path's exact cover). The
+    footprint bbox comes from BOUNDARY SAMPLES (corners + edge midpoints,
+    s2_cell_boundary) so edge curvature under the CRS affine is bounded by
+    the inter-sample residual, and a conservative 1% per-side pad absorbs
+    that residual with orders of magnitude to spare (property-tested across
+    levels in tests/test_kernels_cells.py: the exact cover contains every
+    cell hit by encoded interior points)."""
     from lagespark import fixtures
 
     out_f: list[str] = []
@@ -190,7 +194,7 @@ def s2_feature_cover_df(
             float(lat0[0]), float(lon0[0]), float(lat1[0]), float(lon1[0]), level
         )
         if exact and len(cc):
-            clat, clon = cells.s2_cell_corners(cc)  # (N, 4)
+            clat, clon = cells.s2_cell_boundary(cc, samples_per_edge=2)  # (N, 8)
             cx, cy = fixtures.lonlat_to_xy(clon, clat)
             outer = feats.rings[fid][0]
             keep = []
@@ -398,21 +402,26 @@ def knn_join_points(
     (neither side broadcastable) — the missing sibling of knn_join (which
     assumes a config-scale feature list). Ring-expansion strategy:
 
-      round i: each still-unfinished query explodes to the (2r+1)² grid
-      cells within Chebyshev radius r of its own cell (NATIVE
-      sequence/explode arithmetic), equi-joins targets on the cell, and
-      ranks candidates by (rounded distance, id). A query is DONE when it
-      has ≥ k candidates AND its k-th distance < r·cell_size — no point in
-      an unexplored cell can beat that (cells at Chebyshev distance > r are
-      ≥ r·cell_size away). Unfinished queries continue with r doubled;
+      round i: each still-unfinished query explodes ONLY to the grid cells
+      in the NEW annulus — Chebyshev distance in (r_prev, r] of its own
+      cell (NATIVE sequence/explode arithmetic; round 0 explodes the full
+      radius-1 disk) — equi-joins targets on the cell, unions the
+      candidates CARRIED from earlier rounds (a query's previous top-k
+      dominates every other previously-seen candidate, so carrying top-k is
+      lossless), and ranks by (rounded distance, id). A query is DONE when
+      it has ≥ k candidates AND its k-th distance < r·cell_size — no point
+      in an unexplored cell can beat that (cells at Chebyshev distance > r
+      are ≥ r·cell_size away). Unfinished queries continue with r doubled;
       the pending set shrinks geometrically (a tiny driver count per round).
 
     Scale shape: each round is one shuffle keyed on uniform cell ids; the
-    target side is never replicated (queries explode, targets don't), and
-    only unfinished queries pay for wider rings. Returns
-    (qid, nn_id, dist, rank). Ties break deterministically on (dist, id).
-    Queries with fewer than k reachable targets after max_rounds return
-    what exists (flagged exact=false in the rank ordering contract)."""
+    target side is never replicated (queries explode, targets don't); only
+    unfinished queries pay for wider rings, and each cell is explored
+    exactly ONCE per query (the annulus never re-explodes the inner disk —
+    with radius doubling, full-disk re-explosion would make the last round
+    redo ~4× the total useful work). Returns (qid, nn_id, dist, rank).
+    Ties break deterministically on (dist, id). Queries with fewer than k
+    reachable targets after max_rounds return what exists."""
     from pyspark.sql import Window
 
     t = with_grid_cell(targets, x, y, cell_size).select(
@@ -427,47 +436,62 @@ def knn_join_points(
         F.col(y).alias("qy"),
         F.col("cell").alias("qcell"),
     )
-    results = None
-    r = 1
-    for _ in range(max_rounds):
-        qi = (F.col("qcell") / F.lit(1 << cells.GRID_SHIFT)).cast("long")
-        qj = F.col("qcell") % F.lit(1 << cells.GRID_SHIFT)
-        cand_cells = (
-            pending.select(
-                "qid",
-                "qx",
-                "qy",
-                "qcell",
-                F.explode(F.sequence(qi - r, qi + r)).alias("ci"),
-            )
-            .select(
-                "qid",
-                "qx",
-                "qy",
-                "ci",
-                F.explode(F.sequence(qj - r, qj + r)).alias("cj"),
-            )
-            .select(
-                "qid",
-                "qx",
-                "qy",
-                (F.col("ci") * F.lit(1 << cells.GRID_SHIFT) + F.col("cj")).alias(
-                    "cell"
-                ),
-            )
+    shift = F.lit(1 << cells.GRID_SHIFT)
+
+    def explode_ij(df: DataFrame, iseq, jseq) -> DataFrame:
+        return (
+            df.select("qid", "qx", "qy", F.explode(iseq).alias("ci"), "qcell")
+            .select("qid", "qx", "qy", "ci", F.explode(jseq).alias("cj"))
+            .select("qid", "qx", "qy", (F.col("ci") * shift + F.col("cj")).alias("cell"))
         )
+
+    results = None
+    carried = None  # (qid, nn_id, dist) top-k so far for still-pending queries
+    topk = None
+    done = None
+    # one cheap scan up front; per-round pending size is then tracked
+    # arithmetically (a done query emits exactly k finished rows), so the
+    # round's single action can materialize the FINISHED checkpoint instead
+    # of recounting pending — the returned plan reads cached partitions
+    # rather than re-running the window/rank
+    n_pending = pending.count()
+    r, rp = 1, 0
+    for _ in range(max_rounds):
+        qi = (F.col("qcell") / shift).cast("long")
+        qj = F.col("qcell") % shift
+        if rp == 0:
+            # first round: full (2r+1)² disk
+            cand_cells = explode_ij(
+                pending, F.sequence(qi - r, qi + r), F.sequence(qj - r, qj + r)
+            )
+        else:
+            # annulus only — cells with Chebyshev distance in (rp, r]:
+            # horizontal strips (full i range × new j rows) + vertical
+            # strips (new i columns × old j range). concat(sequence,
+            # sequence) keeps each strip pair one native explode.
+            jnew = F.concat(
+                F.sequence(qj - r, qj - rp - 1), F.sequence(qj + rp + 1, qj + r)
+            )
+            inew = F.concat(
+                F.sequence(qi - r, qi - rp - 1), F.sequence(qi + rp + 1, qi + r)
+            )
+            cand_cells = explode_ij(pending, F.sequence(qi - r, qi + r), jnew).unionByName(
+                explode_ij(pending, inew, F.sequence(qj - rp, qj + rp))
+            )
         dist = F.round(
             F.sqrt((F.col("qx") - F.col("tx")) ** 2 + (F.col("qy") - F.col("ty")) ** 2),
             round_to,
         )
-        cand = (
+        new_cand = (
             cand_cells.join(t, "cell")
             .filter(F.col("qid") != F.col("nn_id"))
             .withColumn("dist", dist)
+            .select("qid", "nn_id", "dist")
         )
+        all_cand = new_cand if carried is None else new_cand.unionByName(carried)
         w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("nn_id"))
         topk = (
-            cand.withColumn("rank", F.row_number().over(w))
+            all_cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "nn_id", "dist", "rank")
         )
@@ -489,10 +513,20 @@ def knn_join_points(
         finished = topk.join(done, "qid").localCheckpoint(eager=False)
         results = finished if results is None else results.unionByName(finished)
         pending = pending.join(done, pending.qid == done.qid, "left_anti")
-        n_pending = pending.count()  # tiny driver action per round
+        # carry the pending queries' current top-k into the next round
+        # (lazy-checkpointed: the carried set otherwise re-runs the whole
+        # window/rank lineage every subsequent round)
+        carried = (
+            topk.join(done, "qid", "left_anti")
+            .select("qid", "nn_id", "dist")
+            .localCheckpoint(eager=False)
+        )
+        # the round's ONLY action: materializes finished (and done upstream);
+        # a done query contributes exactly k rows (nc >= k ∧ rank <= k)
+        n_pending -= finished.count() // k
         if n_pending == 0:
             return results
-        r *= 2
+        rp, r = r, r * 2
     # max_rounds exhausted: emit best-effort for the stragglers (sparse data)
     return results.unionByName(topk.join(done, "qid", "left_anti")) if results is not None else topk
 
@@ -599,6 +633,65 @@ def _bbox_cover_cells(df: DataFrame, cell_size: float, prefix: str) -> DataFrame
     ).drop("ci", "cj")
 
 
+def _flat_ring_cols(rings_col, suffix: str) -> list:
+    """Flatten `rings` (array<array<struct<x,y>>>) into Arrow-friendly
+    primitive columns xs/ys (array<double>) + nv (per-ring vertex counts) —
+    all native higher-order functions. A list<double> Arrow column converts
+    to numpy in one C pass per row; the nested struct encoding would unpack
+    per-POINT through Python dicts inside the kernel (the dominant cost of
+    the overlay join before this rewrite). Lambdas take exactly one
+    parameter (see CLAUDE.md: a second parameter binds the array index)."""
+    return [
+        F.flatten(
+            F.transform(rings_col, lambda ring: F.transform(ring, lambda p: p["x"]))
+        ).alias(f"xs{suffix}"),
+        F.flatten(
+            F.transform(rings_col, lambda ring: F.transform(ring, lambda p: p["y"]))
+        ).alias(f"ys{suffix}"),
+        F.transform(rings_col, lambda ring: F.size(ring)).alias(f"nv{suffix}"),
+    ]
+
+
+def _is_axis_rect(rings_col, xmin, ymin, xmax, ymax):
+    """TRUE iff the polygon is exactly its axis-aligned bounding box: one
+    ring, four vertices, every edge axis-aligned, each bbox corner hit by
+    exactly one vertex (the 2/2 x and y distribution excludes degenerate
+    spikes like (0,0)→(1,0)→(1,1)→(1,0)), and positive extent. Pure
+    Catalyst — rect×rect overlay pairs then take a fully native area path
+    and never reach the Python kernel."""
+    ring = F.element_at(rings_col, 1)
+
+    def X(i):
+        return F.element_at(ring, i)["x"]
+
+    def Y(i):
+        return F.element_at(ring, i)["y"]
+
+    def nxt(i):
+        return i % 4 + 1
+
+    edges_axis = None
+    for i in range(1, 5):
+        e = (X(i) == X(nxt(i))) != (Y(i) == Y(nxt(i)))
+        edges_axis = e if edges_axis is None else (edges_axis & e)
+    two = F.lit(2)
+    on_min_x = sum((X(i) == xmin).cast("int") for i in range(1, 5)) == two
+    on_max_x = sum((X(i) == xmax).cast("int") for i in range(1, 5)) == two
+    on_min_y = sum((Y(i) == ymin).cast("int") for i in range(1, 5)) == two
+    on_max_y = sum((Y(i) == ymax).cast("int") for i in range(1, 5)) == two
+    return (
+        (F.size(rings_col) == 1)
+        & (F.size(ring) == 4)
+        & edges_axis
+        & on_min_x
+        & on_max_x
+        & on_min_y
+        & on_max_y
+        & (xmax > xmin)
+        & (ymax > ymin)
+    )
+
+
 def overlay_join(
     left: DataFrame,
     right: DataFrame,
@@ -621,11 +714,18 @@ def overlay_join(
          vectorized-batch pandas UDF
 
     Shuffle hygiene: the cover explosion and cell join run SKINNY — ids and
-    bbox doubles only. Ring payloads (the wide column) never multiply
-    through the per-cell explosion or the join; they are re-joined by id
-    onto the surviving deduped pairs just before the exact kernel. At scale
-    this cuts the dominant shuffle's payload by the mean cover multiplicity
-    × ring size.
+    bbox doubles only. Ring payloads never multiply through the per-cell
+    explosion or the join; they are re-joined by id onto the surviving
+    deduped pairs just before the exact kernel. At scale this cuts the
+    dominant shuffle's payload by the mean cover multiplicity × ring size.
+
+    Two exact-area paths after the dedup:
+      * rect × rect (both polygons ARE their bbox, detected natively with
+        _is_axis_rect): area = bbox-overlap arithmetic, pure Catalyst —
+        zero Python for rectangular data.
+      * general: vectorized clip kernel over FLAT coordinate columns
+        (xs/ys/nv via _flat_ring_cols) — the Arrow batch converts to numpy
+        per-row in one C pass instead of per-point dict unpacking.
 
     Inputs need columns: id, rings (array<array<struct<x,y>>>),
     xmin/ymin/xmax/ymax. Output: (left_id_l, right_id_r, area) for pairs
@@ -664,32 +764,68 @@ def overlay_join(
         F.floor(F.greatest("lymin", "rymin") / F.lit(cell_size)).cast("long")
         + cells.GRID_OFF
     )
-    cand = cand.filter(F.col("cell") == ref_cell).select("id_l", "id_r")
-    # enrich the surviving pairs with ring payloads (one shuffle per side,
-    # keyed on the id — no per-cell multiplication of the wide column)
-    cand = cand.join(l.select("id_l", "rings_l"), "id_l").join(
-        r.select("id_r", "rings_r"), "id_r"
+    cand = cand.filter(F.col("cell") == ref_cell).select(
+        "id_l", "id_r",
+        "lxmin", "lymin", "lxmax", "lymax",
+        "rxmin", "rymin", "rxmax", "rymax",
     )
-    cand = _repartition_for_kernel(cand)
+    # enrich the surviving pairs with FLAT ring payloads + native rect flag
+    # (one shuffle per side, keyed on the id — no per-cell multiplication of
+    # the wide column; the flat encoding is computed once per feature)
+    lpay = l.select(
+        "id_l",
+        *_flat_ring_cols(F.col("rings_l"), "_l"),
+        _is_axis_rect(
+            F.col("rings_l"), F.col("lxmin"), F.col("lymin"),
+            F.col("lxmax"), F.col("lymax"),
+        ).alias("rect_l"),
+    )
+    rpay = r.select(
+        "id_r",
+        *_flat_ring_cols(F.col("rings_r"), "_r"),
+        _is_axis_rect(
+            F.col("rings_r"), F.col("rxmin"), F.col("rymin"),
+            F.col("rxmax"), F.col("rymax"),
+        ).alias("rect_r"),
+    )
+    cand = cand.join(lpay, "id_l").join(rpay, "id_r")
 
-    def rings_np(cell_rings) -> list[np.ndarray]:
-        return [
-            np.array([[p["x"], p["y"]] for p in ring], dtype=np.float64)
-            for ring in cell_rings
-        ]
+    both_rect = F.col("rect_l") & F.col("rect_r")
+    # rect×rect: fully native bbox-overlap area (a rect IS its bbox; overlap
+    # extents are strictly positive here thanks to the bbox prefilter)
+    ox = F.least("lxmax", "rxmax") - F.greatest("lxmin", "rxmin")
+    oy = F.least("lymax", "rymax") - F.greatest("lymin", "rymin")
+    rect_res = (
+        cand.filter(both_rect)
+        .withColumn("area", F.round(ox * oy, round_to))
+        .filter(F.col("area") > 0)
+        .select("id_l", "id_r", "area")
+    )
+
+    gen = _repartition_for_kernel(cand.filter(~both_rect))
 
     @F.pandas_udf(DoubleType())
-    def inter_area(a: pd.Series, b: pd.Series) -> pd.Series:
-        out = np.empty(len(a))
-        for k in range(len(a)):
-            out[k] = geom.intersection_area(rings_np(a.iloc[k]), rings_np(b.iloc[k]))
+    def inter_area(
+        xa: pd.Series, ya: pd.Series, na: pd.Series,
+        xb: pd.Series, yb: pd.Series, nb: pd.Series,
+    ) -> pd.Series:
+        out = np.empty(len(xa))
+        for k in range(len(xa)):
+            out[k] = geom.intersection_area(
+                geom.rings_from_flat(xa.iloc[k], ya.iloc[k], na.iloc[k]),
+                geom.rings_from_flat(xb.iloc[k], yb.iloc[k], nb.iloc[k]),
+            )
         return pd.Series(np.round(out, round_to))
 
     # nondeterministic marker: stops Catalyst evaluating the kernel twice
     # (once for the filter, once for the projection)
     inter_area = inter_area.asNondeterministic()
-    res = cand.withColumn("area", inter_area("rings_l", "rings_r"))
-    return res.filter(F.col("area") > 0).select("id_l", "id_r", "area")
+    gen_res = (
+        gen.withColumn("area", inter_area("xs_l", "ys_l", "nv_l", "xs_r", "ys_r", "nv_r"))
+        .filter(F.col("area") > 0)
+        .select("id_l", "id_r", "area")
+    )
+    return rect_res.unionByName(gen_res)
 
 
 # ---------------------------------------------------------------------------
@@ -793,11 +929,13 @@ def ri_masks(
 
     Masks are computed once per feature-cell (one pandas-UDF pass over the
     native cover explosion) and make most join-pair decisions pure bitwise
-    arithmetic downstream."""
+    arithmetic downstream. Ring payloads travel in the FLAT xs/ys/nv
+    encoding (see _flat_ring_cols) so the kernel's Arrow→numpy conversion is
+    one C pass per row, not per-point dict unpacking."""
     cov = _bbox_cover_cells(
         feats.select(
             F.col(id_col).alias("id"),
-            "rings",
+            *_flat_ring_cols(F.col("rings"), ""),
             F.col("xmin").alias("lxmin"),
             F.col("ymin").alias("lymin"),
             F.col("xmax").alias("lxmax"),
@@ -809,20 +947,19 @@ def ri_masks(
     sub_area = (cell_size / sub) ** 2
 
     @F.pandas_udf("a_mask int, f_mask int")
-    def masks(rings_s: pd.Series, cell_s: pd.Series) -> pd.DataFrame:
-        a_out = np.zeros(len(rings_s), dtype=np.int32)
-        f_out = np.zeros(len(rings_s), dtype=np.int32)
+    def masks(
+        xs_s: pd.Series, ys_s: pd.Series, nv_s: pd.Series, cell_s: pd.Series
+    ) -> pd.DataFrame:
+        a_out = np.zeros(len(xs_s), dtype=np.int32)
+        f_out = np.zeros(len(xs_s), dtype=np.int32)
         step = cell_size / sub
         ii, jj = cells.grid_decode(cell_s.to_numpy().astype(np.int64))
         sx = np.arange(sub) * step
         sy = np.repeat(np.arange(sub) * step, sub)  # row-major bit order
         sxg = np.tile(sx, sub)
         bits = 1 << np.arange(sub * sub, dtype=np.int32)
-        for k in range(len(rings_s)):
-            rings = [
-                np.array([[p["x"], p["y"]] for p in ring], dtype=np.float64)
-                for ring in rings_s.iloc[k]
-            ]
+        for k in range(len(xs_s)):
+            rings = geom.rings_from_flat(xs_s.iloc[k], ys_s.iloc[k], nv_s.iloc[k])
             x0 = float(ii[k]) * cell_size
             y0 = float(jj[k]) * cell_size
             outer = rings[0]
@@ -872,9 +1009,11 @@ def ri_masks(
     # the cover explosion often sits on top of a small AQE-coalesced shuffle
     # (deduped feature build) — spread it before the mask kernel
     cov = _repartition_for_kernel(cov)
-    return cov.withColumn("m", masks("rings", "cell")).select(
+    return cov.withColumn("m", masks("xs", "ys", "nv", "cell")).select(
         F.col("id"),
-        "rings",
+        "xs",
+        "ys",
+        "nv",
         "cell",
         F.col("m.a_mask").alias("a_mask"),
         F.col("m.f_mask").alias("f_mask"),
@@ -901,14 +1040,18 @@ def intersects_join_ri(
     diagnostic."""
     lm = ri_masks(left, cell_size, sub, left_id).select(
         F.col("id").alias("id_l"),
-        F.col("rings").alias("rings_l"),
+        F.col("xs").alias("xs_l"),
+        F.col("ys").alias("ys_l"),
+        F.col("nv").alias("nv_l"),
         "cell",
         F.col("a_mask").alias("a_l"),
         F.col("f_mask").alias("f_l"),
     )
     rm = ri_masks(right, cell_size, sub, right_id).select(
         F.col("id").alias("id_r"),
-        F.col("rings").alias("rings_r"),
+        F.col("xs").alias("xs_r"),
+        F.col("ys").alias("ys_r"),
+        F.col("nv").alias("nv_r"),
         "cell",
         F.col("a_mask").alias("a_r"),
         F.col("f_mask").alias("f_r"),
@@ -925,17 +1068,15 @@ def intersects_join_ri(
     ambiguous = cand.filter(~definite)
 
     @F.pandas_udf(BooleanType())
-    def exact(rings_l: pd.Series, rings_r: pd.Series, cell_s: pd.Series) -> pd.Series:
-        out = np.zeros(len(rings_l), dtype=bool)
-        for k in range(len(rings_l)):
-            rl = [
-                np.array([[p["x"], p["y"]] for p in ring], dtype=np.float64)
-                for ring in rings_l.iloc[k]
-            ]
-            rr = [
-                np.array([[p["x"], p["y"]] for p in ring], dtype=np.float64)
-                for ring in rings_r.iloc[k]
-            ]
+    def exact(
+        xl: pd.Series, yl: pd.Series, nl: pd.Series,
+        xr: pd.Series, yr: pd.Series, nr: pd.Series,
+        cell_s: pd.Series,
+    ) -> pd.Series:
+        out = np.zeros(len(xl), dtype=bool)
+        for k in range(len(xl)):
+            rl = geom.rings_from_flat(xl.iloc[k], yl.iloc[k], nl.iloc[k])
+            rr = geom.rings_from_flat(xr.iloc[k], yr.iloc[k], nr.iloc[k])
             i, j = cells.grid_decode(np.array([int(cell_s.iloc[k])]))
             x0 = float(i[0]) * cell_size
             y0 = float(j[0]) * cell_size
@@ -960,9 +1101,9 @@ def intersects_join_ri(
 
     exact = exact.asNondeterministic()
     ambiguous = _repartition_for_kernel(ambiguous)
-    amb_yes = ambiguous.filter(exact("rings_l", "rings_r", "cell")).select(
-        "id_l", "id_r", F.lit("exact").alias("method")
-    )
+    amb_yes = ambiguous.filter(
+        exact("xs_l", "ys_l", "nv_l", "xs_r", "ys_r", "nv_r", "cell")
+    ).select("id_l", "id_r", F.lit("exact").alias("method"))
     allpairs = yes.unionByName(amb_yes)
     return allpairs.groupBy("id_l", "id_r").agg(F.min("method").alias("method"))
 

@@ -155,6 +155,40 @@ def test_s2_cell_corners_bracket_center():
     assert (clon.min(axis=1) - 1e-9 <= lon).all() and (lon <= clon.max(axis=1) + 1e-9).all()
 
 
+def test_s2_exact_cover_contains_interior_cells_across_levels(spark):
+    """Property (ADVICE round 2): the EXACT polyfill must contain every cell
+    hit by encoded interior points — at multiple levels, not just the
+    deployed one — so the boundary-sample bbox + pad provably absorbs edge
+    curvature under the CRS affine as the cell extent changes."""
+    from lagespark import fixtures
+    from lagespark.kernels import geom
+    from lagespark.operators import spatial
+
+    feats = spatial.FeatureSet(fixtures.gruenflaeche_pdf())
+    for level in (13, 14, 15, 16):
+        cover = spatial.s2_feature_cover_df(spark, feats, level=level).toPandas()
+        by_fid = {
+            fid: set(g["cell_s2"].tolist())
+            for fid, g in cover.groupby("feature_id")
+        }
+        for fid in feats.ids:
+            xmin, ymin, xmax, ymax = feats.bbox[fid]
+            gx = np.linspace(xmin, xmax, 40)
+            gy = np.linspace(ymin, ymax, 40)
+            xx, yy = np.meshgrid(gx, gy)
+            xs, ys = xx.ravel(), yy.ravel()
+            inside = geom.point_in_polygon(xs, ys, feats.rings[fid])
+            if not inside.any():
+                continue
+            lon, lat = fixtures.xy_to_lonlat(xs[inside], ys[inside])
+            hit = set(cells.s2_encode(lat, lon, level).tolist())
+            missing = hit - by_fid.get(fid, set())
+            assert not missing, (
+                f"level {level} feature {fid}: exact cover drops {len(missing)} "
+                "cell(s) containing interior points"
+            )
+
+
 def test_s2_exact_cover_shrinks_but_stays_correct(spark):
     """The exact S2 polyfill must be a SUBSET of the bbox cover, strictly
     smaller for non-rectangular features, and q83 (S2-keyed PIP) must return

@@ -127,6 +127,120 @@ def test_ri_intersects_join_general_polygons(spark):
     assert (got.method == "ri").any()
 
 
+def test_overlay_join_general_polygons_and_rect_detection(spark):
+    """overlay_join after the flat-marshalling + native-rect rewrite:
+
+    * general (non-rect) fixture polygons must still match the brute-force
+      kernel areas (the generic flat-column path);
+    * a DEGENERATE 4-vertex quad whose vertices sit on its bbox corners but
+      do not trace the bbox must NOT take the native rect path — its output
+      must equal the exact kernel's verdict, not the bbox-overlap area."""
+    import pandas as pd
+
+    from lagespark import fixtures
+    from lagespark.kernels import geom
+
+    gf_pdf = fixtures.gruenflaeche_pdf()
+    bf_pdf = fixtures.baufeld_pdf()
+    cols = ["feature_id", "rings", "xmin", "ymin", "xmax", "ymax"]
+    a = spark.createDataFrame(gf_pdf[cols])
+    b = spark.createDataFrame(bf_pdf[cols])
+    got = spatial.overlay_join(a, b, cell_size=250.0, round_to=4).toPandas()
+    got_map = {(r.id_l, r.id_r): r.area for r in got.itertuples()}
+
+    def np_rings(row):
+        return [np.array([[p["x"], p["y"]] for p in ring]) for ring in row["rings"]]
+
+    want = {}
+    for _, g in gf_pdf.iterrows():
+        for _, o in bf_pdf.iterrows():
+            ar = round(geom.intersection_area(np_rings(g), np_rings(o)), 4)
+            if ar > 0:
+                want[(g["feature_id"], o["feature_id"])] = ar
+    assert got_map == want, (got_map, want)
+
+    # degenerate spike quad (0,0)→(10,0)→(10,10)→(10,0): bbox corners, axis
+    # edges... but x-distribution 1/3 — rect detection must reject it
+    spike = pd.DataFrame(
+        {
+            "feature_id": ["spike"],
+            "rings": [
+                [[{"x": 0.0, "y": 0.0}, {"x": 10.0, "y": 0.0},
+                  {"x": 10.0, "y": 10.0}, {"x": 10.0, "y": 0.0}]]
+            ],
+            "xmin": [0.0], "ymin": [0.0], "xmax": [10.0], "ymax": [10.0],
+        }
+    )
+    rect = pd.DataFrame(
+        {
+            "feature_id": ["r1"],
+            "rings": [
+                [[{"x": 2.0, "y": 2.0}, {"x": 8.0, "y": 2.0},
+                  {"x": 8.0, "y": 8.0}, {"x": 2.0, "y": 8.0}]]
+            ],
+            "xmin": [2.0], "ymin": [2.0], "xmax": [8.0], "ymax": [8.0],
+        }
+    )
+    res = spatial.overlay_join(
+        spark.createDataFrame(spike), spark.createDataFrame(rect), cell_size=250.0
+    ).toPandas()
+    spike_rings = [np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [10.0, 0.0]])]
+    rect_rings = [np.array([[2.0, 2.0], [8.0, 2.0], [8.0, 8.0], [2.0, 8.0]])]
+    kernel_area = round(geom.intersection_area(spike_rings, rect_rings), 4)
+    got_area = res["area"].iloc[0] if len(res) else 0.0
+    assert got_area == (kernel_area if kernel_area > 0 else 0.0), (
+        f"rect-path/kernel divergence: got {got_area}, kernel says {kernel_area}"
+    )
+
+
+def test_is_axis_rect_detection(spark):
+    """_is_axis_rect (the native gate for the rect×rect overlay fast path)
+    must accept proper axis-aligned rectangles in any traversal and reject
+    everything else — degenerate spikes, bowties, diamonds, holes, and rings
+    that don't match the declared bbox."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    def ring(*pts):
+        return [[{"x": float(x), "y": float(y)} for x, y in pts]]
+
+    cases = [
+        (ring((0, 0), (10, 0), (10, 10), (0, 10)), (0, 0, 10, 10), True),   # CCW
+        (ring((0, 0), (0, 10), (10, 10), (10, 0)), (0, 0, 10, 10), True),   # CW
+        (ring((10, 10), (0, 10), (0, 0), (10, 0)), (0, 0, 10, 10), True),   # rotated
+        (ring((0, 0), (10, 0), (10, 10), (10, 0)), (0, 0, 10, 10), False),  # spike
+        (ring((0, 0), (10, 0), (0, 10), (10, 10)), (0, 0, 10, 10), False),  # bowtie
+        (ring((5, 0), (10, 5), (5, 10), (0, 5)), (0, 0, 10, 10), False),    # diamond
+        (ring((0, 0), (10, 0), (10, 10), (0, 10)), (0, 0, 20, 10), False),  # bbox lies
+        (  # rect with a hole is not its bbox
+            ring((0, 0), (10, 0), (10, 10), (0, 10))
+            + ring((4, 4), (6, 4), (6, 6), (4, 6)),
+            (0, 0, 10, 10),
+            False,
+        ),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "rings": [c[0] for c in cases],
+            "xmin": [c[1][0] for c in cases],
+            "ymin": [c[1][1] for c in cases],
+            "xmax": [c[1][2] for c in cases],
+            "ymax": [c[1][3] for c in cases],
+            "want": [c[2] for c in cases],
+        }
+    )
+    df = spark.createDataFrame(pdf).withColumn(
+        "got",
+        spatial._is_axis_rect(
+            F.col("rings"), F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
+        ),
+    )
+    rows = df.select("want", "got").collect()
+    for i, r in enumerate(rows):
+        assert bool(r.got) == r.want, f"case {i}: want {r.want}, got {r.got}"
+
+
 def test_s2_pip_join_equals_grid_pip_join(spark):
     """The S2-indexed PIP join (sphere cells as the join key) must return
     exactly the rows the grid-indexed join returns — side-consistent

@@ -57,6 +57,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return _registry().QUERIES["q55-geo-score"](spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness sweep is budget-capped at ~50 queries and walks
+# queries() in iteration order. Rounds 1-2 spent that window on q01-q67 (all
+# driver-green in CORRECTNESS_r02.json), so round 3 rotates the window: the
+# oracled queries that have NEVER had a driver row go FIRST, then the
+# already-green oracled queries, then rows-only entries. Keep this list (and
+# registration order generally) FROZEN so the driver window stays
+# predictable; the union of rounds then driver-evidences every oracled
+# operator.
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    "q68-geo-overlay-join",
+    "q82-geo-intersects-ri",
+    "q83-geo-pip-s2",
+    "q84-geo-range-rollup",
+    "q86-geo-within-dist",
+    "q59b-geo-tile-rect",
+    "q69-geo-knn-points",
+    "q70-dedup-exact",
+    "q71-dedup-ngram-jaccard",
+    "q72-dedup-minhash-lsh",
+    "q73-dedup-simhash",
+    "q74-dedup-embed-cosine",
+    "q82b-dedup-simhash-pairs",
+    "q81-dedup-components",
+    "q75-ann-topk",
+    "q77-text-langid",
+    "q78-text-quality",
+    "q79-text-tokens",
+    "q80-text-fingerprint",
+    "q96-dedup-corpus",
+    "q97-sample-hash",
+    "q98-text-normalize",
+    "q99-corpus-stats",
+    "q90-stream-tumble",
+    "q91-stream-slide",
+    "q92-stream-session",
+    "q94-stream-stream-join",
+    "q95-spatiotemporal-rollup",
+    "q93-stream-geo",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = _registry()
 
@@ -69,10 +110,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         run.__doc__ = fn.__doc__
         return run
 
-    # oracle-bearing queries FIRST (registration order preserved within each
-    # group) so a budget-limited correctness sweep spends its time on the
-    # strongest checks; rows-only entries follow
-    names = sorted(reg.QUERIES, key=lambda n: (n not in reg.ORACLES) * 1)
+    # oracle-bearing queries FIRST, never-driver-checked ones first among
+    # them (see _DRIVER_PRIORITY); registration order preserved within each
+    # group; rows-only entries follow
+    prio = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
+    names = sorted(
+        reg.QUERIES,
+        key=lambda n: (n not in reg.ORACLES, prio.get(n, len(prio))),
+    )
     return {name: wrap(reg.QUERIES[name]) for name in names}
 
 

@@ -12,8 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from lagespark import fixtures
-from lagespark.harness import q
+from lagespark import fixtures, oracles
+from lagespark.harness import T, q
 from lagespark.operators import image_ops, overlay, tile
 from lagespark.operators.spatial import FeatureSet
 
@@ -47,6 +47,92 @@ def q59(spark, sf):
     t = tile.rasterize_features(
         spark, FeatureSet(fixtures.gruenflaeche_pdf()), 256.0, 16
     )
+    return t.select("tile_id", "feature_id", "covered_cells")
+
+
+# q59b: the geo-tile kernel checked end-to-end against CLOSED-FORM SQL.
+# Rect features (the q68 synthesis, +0.05 offset so no 16 m sub-cell CENTER
+# — always an integer coordinate — ever lands on a rect edge, which is
+# always *.?5) → rasterize → covered_cells. The oracle counts sub-cell
+# centers inside each rect with pure floor/ceil arithmetic per tile.
+_T59 = 256.0  # tile_size; 16 cells/side of 16 m; centers at 256i + 16u + 8
+
+
+def _q59b_oracle() -> str:
+    off = 1 << 20  # cells.GRID_OFF
+    shift = 1 << 21  # cells.GRID_SHIFT
+    nx = (
+        "GREATEST(0, LEAST(15, CAST(CEIL((x1 - i*256 - 8) / 16.0) AS BIGINT) - 1) "
+        "- GREATEST(0, CAST(FLOOR((x0 - i*256 - 8) / 16.0) AS BIGINT) + 1) + 1)"
+    )
+    ny = (
+        "GREATEST(0, LEAST(15, CAST(CEIL((y1 - j*256 - 8) / 16.0) AS BIGINT) - 1) "
+        "- GREATEST(0, CAST(FLOOR((y0 - j*256 - 8) / 16.0) AS BIGINT) + 1) + 1)"
+    )
+    return (
+        "WITH r AS (" + oracles.RECT_SELECT + "), "
+        "d AS (SELECT rid, MIN(rx0) AS rx0, MIN(ry0) AS ry0, MIN(rw) AS rw, "
+        "MIN(rh) AS rh FROM r GROUP BY rid), "
+        "f AS (SELECT rid, rx0 + 0.05 AS x0, ry0 + 0.05 AS y0, "
+        "rx0 + 0.05 + rw AS x1, ry0 + 0.05 + rh AS y1 FROM d WHERE rid % 97 = 0), "
+        "ti AS (SELECT *, unnest(range(CAST(FLOOR(x0 / 256.0) AS BIGINT), "
+        "CAST(FLOOR(x1 / 256.0) AS BIGINT) + 1)) AS i FROM f), "
+        "tj AS (SELECT *, unnest(range(CAST(FLOOR(y0 / 256.0) AS BIGINT), "
+        "CAST(FLOOR(y1 / 256.0) AS BIGINT) + 1)) AS j FROM ti), "
+        f"c AS (SELECT (i + {off}) * {shift} + (j + {off}) AS tile_id, "
+        "CAST(rid AS VARCHAR) AS feature_id, "
+        f"{nx} * {ny} AS covered_cells FROM tj) "
+        "SELECT tile_id, feature_id, CAST(covered_cells AS INT) AS covered_cells "
+        "FROM c WHERE covered_cells > 0"
+    )
+
+
+@q("q59b-geo-tile-rect", _q59b_oracle())
+def q59b(spark, sf):
+    """Tile rasterization (geo-tile) against an exact SQL oracle: rect
+    features → per-tile 16×16 center-in-polygon masks; covered_cells must
+    equal the closed-form count of sub-cell centers strictly inside each
+    rect (no center ever sits on a rect edge — see _q59b_oracle)."""
+    d = (
+        T(spark, sf, "lineitem")
+        .selectExpr(*oracles.RECT_EXPRS)
+        .filter(F.expr("rid % 97 = 0"))
+        .groupBy("rid")
+        .agg(
+            F.min("rx0").alias("rx0"),
+            F.min("ry0").alias("ry0"),
+            F.min("rw").alias("rw"),
+            F.min("rh").alias("rh"),
+        )
+        .toPandas()
+    )
+    x0 = d["rx0"].to_numpy() + 0.05
+    y0 = d["ry0"].to_numpy() + 0.05
+    x1 = x0 + d["rw"].to_numpy()
+    y1 = y0 + d["rh"].to_numpy()
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "feature_id": d["rid"].astype("int64").astype(str),
+            "rings": [
+                [
+                    [
+                        {"x": a, "y": b},
+                        {"x": c, "y": b},
+                        {"x": c, "y": e},
+                        {"x": a, "y": e},
+                    ]
+                ]
+                for a, b, c, e in zip(x0, y0, x1, y1)
+            ],
+            "xmin": x0,
+            "ymin": y0,
+            "xmax": x1,
+            "ymax": y1,
+        }
+    )
+    t = tile.rasterize_features(spark, FeatureSet(pdf), _T59, 16)
     return t.select("tile_id", "feature_id", "covered_cells")
 
 

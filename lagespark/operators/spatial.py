@@ -699,6 +699,7 @@ def overlay_join(
     left_id: str = "feature_id",
     right_id: str = "feature_id",
     round_to: int = 4,
+    checkpoint_pairs: bool = True,
 ) -> DataFrame:
     """Distributed polygon ∩ polygon join for DATA-SCALE feature sets on
     BOTH sides (unlike the broadcast paths, which assume config-scale dims):
@@ -737,6 +738,9 @@ def overlay_join(
         F.col("ymin").alias("lymin"),
         F.col("xmax").alias("lxmax"),
         F.col("ymax").alias("lymax"),
+        _is_axis_rect(
+            F.col("rings"), F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
+        ).alias("rect_l"),
     )
     r = right.select(
         F.col(right_id).alias("id_r"),
@@ -745,7 +749,13 @@ def overlay_join(
         F.col("ymin").alias("rymin"),
         F.col("xmax").alias("rxmax"),
         F.col("ymax").alias("rymax"),
+        _is_axis_rect(
+            F.col("rings"), F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
+        ).alias("rect_r"),
     )
+    # the rect flag (1 bool, computed once per feature) rides the SKINNY
+    # cover join, so rect×rect pairs — decided entirely by bbox arithmetic —
+    # never pay the ring-payload joins at all
     lc = _bbox_cover_cells(l.drop("rings_l"), cell_size, "l")
     rc = _bbox_cover_cells(r.drop("rings_r"), cell_size, "r")
     cand = lc.join(rc, "cell")
@@ -765,34 +775,24 @@ def overlay_join(
         + cells.GRID_OFF
     )
     cand = cand.filter(F.col("cell") == ref_cell).select(
-        "id_l", "id_r",
+        "id_l", "id_r", "rect_l", "rect_r",
         "lxmin", "lymin", "lxmax", "lymax",
         "rxmin", "rymin", "rxmax", "rymax",
     )
-    # enrich the surviving pairs with FLAT ring payloads + native rect flag
-    # (one shuffle per side, keyed on the id — no per-cell multiplication of
-    # the wide column; the flat encoding is computed once per feature)
-    lpay = l.select(
-        "id_l",
-        *_flat_ring_cols(F.col("rings_l"), "_l"),
-        _is_axis_rect(
-            F.col("rings_l"), F.col("lxmin"), F.col("lymin"),
-            F.col("lxmax"), F.col("lymax"),
-        ).alias("rect_l"),
-    )
-    rpay = r.select(
-        "id_r",
-        *_flat_ring_cols(F.col("rings_r"), "_r"),
-        _is_axis_rect(
-            F.col("rings_r"), F.col("rxmin"), F.col("rymin"),
-            F.col("rxmax"), F.col("rymax"),
-        ).alias("rect_r"),
-    )
-    cand = cand.join(lpay, "id_l").join(rpay, "id_r")
+    if checkpoint_pairs:
+        # the deduped pair list feeds BOTH area paths (native rect and exact
+        # kernel); without persistence each union branch would re-run the
+        # whole cover join + dedup (no exchange reuse — the branches prune
+        # different columns). Lazy local checkpoint: skinny, bounded by the
+        # output size, materialized by the caller's first action.
+        # checkpoint_pairs=False keeps the plan fully visible for the
+        # plan-shape tests.
+        cand = cand.localCheckpoint(eager=False)
 
     both_rect = F.col("rect_l") & F.col("rect_r")
     # rect×rect: fully native bbox-overlap area (a rect IS its bbox; overlap
-    # extents are strictly positive here thanks to the bbox prefilter)
+    # extents are strictly positive here thanks to the bbox prefilter) — no
+    # payload join, no Python
     ox = F.least("lxmax", "rxmax") - F.greatest("lxmin", "rxmin")
     oy = F.least("lymax", "rymax") - F.greatest("lymin", "rymin")
     rect_res = (
@@ -802,7 +802,18 @@ def overlay_join(
         .select("id_l", "id_r", "area")
     )
 
-    gen = _repartition_for_kernel(cand.filter(~both_rect))
+    # non-rect pairs: enrich with FLAT ring payloads (one shuffle per side,
+    # keyed on the id — no per-cell multiplication of the wide column; the
+    # flat encoding is computed once per feature) and run the exact kernel
+    lpay = l.select("id_l", *_flat_ring_cols(F.col("rings_l"), "_l"))
+    rpay = r.select("id_r", *_flat_ring_cols(F.col("rings_r"), "_r"))
+    gen = (
+        cand.filter(~both_rect)
+        .select("id_l", "id_r")
+        .join(lpay, "id_l")
+        .join(rpay, "id_r")
+    )
+    gen = _repartition_for_kernel(gen)
 
     @F.pandas_udf(DoubleType())
     def inter_area(

@@ -90,10 +90,20 @@ def test_whole_stage_codegen_on_native_path(spark):
 def test_overlay_join_cover_explosion_is_native(spark):
     """The distributed overlay join's cover explosion must be native
     (sequence/explode in codegen) — Python appears only at the final exact
-    kernel, after the cell join + prefilters."""
+    kernel, after the cell join + prefilters + rect fast path. Inspected
+    with checkpoint_pairs=False (the production checkpoint replaces the
+    upstream plan with an RDD scan in explain output)."""
     from lagespark import harness
+    from lagespark.operators import spatial
 
-    p = plan_of(harness.QUERIES["q68-geo-overlay-join"](spark, SF), "simple")
-    # exactly one Arrow UDF node (the exact-area kernel)
+    a = harness._rect_features(spark, SF, 17)
+    b = harness._rect_features(spark, SF, 19)
+    df = spatial.overlay_join(a, b, cell_size=250.0, round_to=2, checkpoint_pairs=False)
+    p = plan_of(df, "simple")
+    # exactly one Arrow UDF node (the exact-area kernel, general-pair branch)
     assert p.count("ArrowEvalPython") == 1
     assert "Generate explode" in p  # native cover explosion
+    # the registered q68 (checkpointed) still has exactly one Arrow UDF
+    # downstream of the pair checkpoint
+    p2 = plan_of(harness.QUERIES["q68-geo-overlay-join"](spark, SF), "simple")
+    assert p2.count("ArrowEvalPython") == 1

@@ -25,6 +25,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition before a CPU-bound NATIVE stage: a small parquet file
+    scans as ONE partition, so the shingle/signature projection — the
+    expensive map work of the whole operator — would run single-threaded.
+    One tiny shuffle of (id, text) buys full parallelism; at real scale the
+    scan already has enough partitions and this is a cheap no-op-ish
+    round-robin."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups by content digest → (h, n, keeper)."""
     return (
@@ -94,9 +104,9 @@ def minhash_signature(
     # emit as a candidate pair with every other null-text doc. The DuckDB
     # oracle's unnest drops these rows naturally, so the filter also keeps
     # the dialects aligned. size(NULL) = -1, so > 0 covers both cases.
-    sh = df.select(F.col(id_col), shingle_col(text_col, n).alias("shs")).filter(
-        F.size("shs") > 0
-    )
+    sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), shingle_col(text_col, n).alias("shs")
+    ).filter(F.size("shs") > 0)
     hs = sh.select(
         F.col(id_col), F.transform(F.col("shs"), lambda s: F.md5(s)).alias("hs")
     )
@@ -137,21 +147,29 @@ def minhash_pairs(
     keys = sig.select(F.col(id_col), F.explode(band_keys).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
-    # pairs within each bucket WITHOUT a self-join (a self-join would compute
-    # the whole signature subplan twice): group ids per band key, emit the
-    # a<b combinations with a streaming double explode. (A nested-transform
-    # upper-triangle was tried and is SLOWER: it materializes the whole
-    # k(k-1)/2 combination array per bucket before exploding, while Generate
-    # streams.)
-    buckets = (
-        keys.groupBy("band", "band_key")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    return _bucket_pairs(keys, id_col)
+
+
+def _bucket_pairs(keys: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, band_key) → distinct candidate pairs (a < b) sharing a
+    bucket, via a SELF-JOIN of the lazily-checkpointed key table.
+
+    Why a self-join and not collect_list + double explode: a hot bucket of k
+    docs explodes k² pair rows out of ONE collect_list row — a single task
+    (real corpora have giant duplicate clusters; the harness documents have
+    a 2,699-doc bucket that serialized 7M rows through one thread). The
+    equi-join streams each key row independently, so hot-bucket output is
+    generated across ALL partitions holding those rows (broadcast probe at
+    this size; SMJ + AQE skew-split at cluster scale). The checkpoint makes
+    the (skinny — id + 2 keys) table compute its signature subplan ONCE for
+    both join sides."""
+    keys = keys.localCheckpoint(eager=False)
+    a = keys.select(F.col(id_col).alias("a"), "band", "band_key")
+    b = keys.select(F.col(id_col).alias("b"), "band", "band_key")
     return (
-        buckets.select(F.explode("ids").alias("a"), F.col("ids"))
-        .select("a", F.explode("ids").alias("b"))
+        a.join(b, ["band", "band_key"])
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
         .distinct()
     )
 
@@ -182,9 +200,9 @@ def minhash_pairs_fast(
         return lambda s: F.xxhash64(F.lit(p), s)
 
     # null/empty-shingle filter — same rationale as minhash_signature
-    sh = df.select(F.col(id_col), shingle_col(text_col, n).alias("shs")).filter(
-        F.size("shs") > 0
-    )
+    sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), shingle_col(text_col, n).alias("shs")
+    ).filter(F.size("shs") > 0)
     sig = sh.select(
         F.col(id_col),
         *[
@@ -207,17 +225,7 @@ def minhash_pairs_fast(
     keys = sig.select(F.col(id_col), F.explode(band_keys).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
-    buckets = (
-        keys.groupBy("band", "band_key")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    return (
-        buckets.select(F.explode("ids").alias("a"), F.col("ids"))
-        .select("a", F.explode("ids").alias("b"))
-        .filter(F.col("a") < F.col("b"))
-        .distinct()
-    )
+    return _bucket_pairs(keys, id_col)
 
 
 def minhash_pairs_sql(
@@ -289,7 +297,9 @@ def minhash_jaccard_pairs(
     the shape a 100 TB near-dup sweep runs — the quadratic exact comparison
     never touches non-candidate pairs."""
     cand = minhash_pairs_fast(df, id_col, text_col, perms, band_rows, n)
-    sh = df.select(F.col(id_col), shingle_col(text_col, n).alias("sh"))
+    sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), shingle_col(text_col, n).alias("sh")
+    )
     pairs = cand.join(
         sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a")), "a"
     ).join(sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b")), "b")
@@ -323,10 +333,13 @@ def hamming_pairs(
     refine with native bit_count(xor). Same shape as
     image_ops.phash_neardup_pairs; pure Catalyst end-to-end.
 
-    Scale: the shuffle key is (band, chunk) — uniform for hash-like sketches,
-    so buckets stay small and the in-bucket pair expansion is bounded. The
-    collect_list+double-explode avoids a self-join that would recompute the
-    (often expensive) sketch subplan twice."""
+    Scale: the shuffle key is (band, chunk) — uniform for hash-like
+    sketches, so buckets stay small and the in-bucket pair expansion is
+    bounded. Pairs come from a self-join of the lazily-checkpointed key
+    table (not collect_list + double explode): a hot bucket — e.g. many
+    byte-identical images sharing one sketch — would otherwise emit its k²
+    pair rows from a single task (see _bucket_pairs); the checkpoint keeps
+    the sketch subplan computed once for both sides."""
     n_bands = max_hamming + 1
     base, extra = divmod(bits, n_bands)
     widths = [base + (1 if b < extra else 0) for b in range(n_bands)]
@@ -346,22 +359,15 @@ def hamming_pairs(
         F.col(id_col), F.col(sketch_col).alias("_sk"), F.explode(bands).alias("bk")
     ).select(
         id_col, "_sk", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
-    buckets = (
-        keyed.groupBy("band", "key")
-        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "_sk")).alias("members"))
-        .filter(F.size("members") > 1)
-    )
-    pairs = (
-        buckets.select(F.explode("members").alias("ma"), F.col("members"))
-        .select("ma", F.explode("members").alias("mb"))
-        .filter(F.col("ma.id") < F.col("mb.id"))
-    )
-    ham = F.bit_count(F.col("ma._sk").bitwiseXOR(F.col("mb._sk")))
+    ).localCheckpoint(eager=False)
+    a = keyed.select(F.col(id_col).alias("a"), F.col("_sk").alias("_ska"), "band", "key")
+    b = keyed.select(F.col(id_col).alias("b"), F.col("_sk").alias("_skb"), "band", "key")
+    pairs = a.join(b, ["band", "key"]).filter(F.col("a") < F.col("b"))
+    ham = F.bit_count(F.col("_ska").bitwiseXOR(F.col("_skb")))
     return (
         pairs.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select(F.col("ma.id").alias("a"), F.col("mb.id").alias("b"), "hamming")
+        .select("a", "b", "hamming")
         .distinct()
     )
 
@@ -465,7 +471,9 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs over a (bounded) input: |∩| / |∪| on
     distinct shingle sets. Quadratic — apply to LSH candidates or subsets."""
-    s = df.select(F.col(id_col), shingle_col(text_col, n).alias("sh"))
+    s = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), shingle_col(text_col, n).alias("sh")
+    )
     a = s.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b = s.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))

@@ -92,6 +92,22 @@ def with_s2_cell(
 # ---------------------------------------------------------------------------
 
 
+def _np_axis_rect(rings, xmin, ymin, xmax, ymax) -> bool:
+    """numpy mirror of _is_axis_rect (the Catalyst gate): one 4-vertex ring
+    with axis-aligned edges hitting each bbox corner exactly once."""
+    if len(rings) != 1 or len(rings[0]) != 4 or xmax <= xmin or ymax <= ymin:
+        return False
+    xs, ys = rings[0][:, 0], rings[0][:, 1]
+    for i in range(4):
+        j = (i + 1) % 4
+        if (xs[i] == xs[j]) == (ys[i] == ys[j]):
+            return False
+    return bool(
+        (xs == xmin).sum() == 2 and (xs == xmax).sum() == 2
+        and (ys == ymin).sum() == 2 and (ys == ymax).sum() == 2
+    )
+
+
 def feature_cover_pdf(
     feats: FeatureSet, cell_size: float = 250.0, pad: float = 0.0, exact: bool = True
 ) -> pd.DataFrame:
@@ -105,22 +121,28 @@ def feature_cover_pdf(
         xmin, ymin, xmax, ymax = feats.bbox[fid]
         cand = cells.grid_cover_bbox(xmin, ymin, xmax, ymax, cell_size, pad=pad)
         if exact and pad == 0.0:
-            keep = []
             outer = feats.rings[fid][0]
-            for c in cand:
-                i, j = cells.grid_decode(np.array([c]))
-                x0, y0 = float(i[0]) * cell_size, float(j[0]) * cell_size
-                rect = np.array(
-                    [
-                        [x0, y0],
-                        [x0 + cell_size, y0],
-                        [x0 + cell_size, y0 + cell_size],
-                        [x0, y0 + cell_size],
-                    ]
-                )
-                if geom.clip_area(outer, rect) > 0.0:
-                    keep.append(int(c))
-            cand = np.array(keep, dtype=np.int64)
+            if _np_axis_rect(feats.rings[fid], xmin, ymin, xmax, ymax):
+                # an axis rect IS its bbox: the bbox cover is already exact
+                # (skips len(cand) Sutherland–Hodgman clips per feature —
+                # the dominant driver-side cost for large rect sets)
+                pass
+            else:
+                keep = []
+                for c in cand:
+                    i, j = cells.grid_decode(np.array([c]))
+                    x0, y0 = float(i[0]) * cell_size, float(j[0]) * cell_size
+                    rect = np.array(
+                        [
+                            [x0, y0],
+                            [x0 + cell_size, y0],
+                            [x0 + cell_size, y0 + cell_size],
+                            [x0, y0 + cell_size],
+                        ]
+                    )
+                    if geom.clip_area(outer, rect) > 0.0:
+                        keep.append(int(c))
+                cand = np.array(keep, dtype=np.int64)
         out_f.extend([fid] * len(cand))
         out_c.extend(int(c) for c in cand)
     return pd.DataFrame({"feature_id": out_f, "cell": pd.array(out_c, dtype="int64")})
@@ -938,15 +960,28 @@ def ri_masks(
       a_mask bit = the polygon intersects the sub-cell with positive area
       f_mask bit = the polygon FULLY covers the sub-cell (holes included)
 
-    Masks are computed once per feature-cell (one pandas-UDF pass over the
-    native cover explosion) and make most join-pair decisions pure bitwise
-    arithmetic downstream. Ring payloads travel in the FLAT xs/ys/nv
-    encoding (see _flat_ring_cols) so the kernel's Arrow→numpy conversion is
-    one C pass per row, not per-point dict unpacking."""
+    Masks are computed once per feature-cell and make most join-pair
+    decisions pure bitwise arithmetic downstream. Two mask paths after the
+    (lazily-checkpointed) cover explosion:
+
+      * axis-rect features (_is_axis_rect, native): both masks are pure
+        Catalyst min/max arithmetic over the sub-grid — zero Python.
+      * general polygons: vectorized clip kernel over the FLAT xs/ys/nv
+        encoding (one C pass per row, not per-point dict unpacking).
+
+    Output is SKINNY — (id, cell, rect, bbox, a_mask, f_mask), no ring
+    payload: the downstream cell join multiplies every column by the pair
+    count, so the exact kernel re-joins flat coordinates by id only for the
+    ambiguous non-rect pairs (same shuffle hygiene as overlay_join). The
+    rect flag + bbox let the join decide rect×rect pairs natively."""
     cov = _bbox_cover_cells(
         feats.select(
             F.col(id_col).alias("id"),
             *_flat_ring_cols(F.col("rings"), ""),
+            _is_axis_rect(
+                F.col("rings"), F.col("xmin"), F.col("ymin"),
+                F.col("xmax"), F.col("ymax"),
+            ).alias("rect"),
             F.col("xmin").alias("lxmin"),
             F.col("ymin").alias("lymin"),
             F.col("xmax").alias("lxmax"),
@@ -955,6 +990,10 @@ def ri_masks(
         cell_size,
         "l",
     )
+    # the cover feeds two mask branches (native rect / kernel) — checkpoint
+    # so the feature build + explosion runs once (no exchange reuse across
+    # branches with different pruning; see overlay_join)
+    cov = cov.localCheckpoint(eager=False)
     sub_area = (cell_size / sub) ** 2
 
     @F.pandas_udf("a_mask int, f_mask int")
@@ -1017,18 +1056,48 @@ def ri_masks(
             f_out[k] = f
         return pd.DataFrame({"a_mask": a_out, "f_mask": f_out})
 
-    # the cover explosion often sits on top of a small AQE-coalesced shuffle
-    # (deduped feature build) — spread it before the mask kernel
-    cov = _repartition_for_kernel(cov)
-    return cov.withColumn("m", masks("xs", "ys", "nv", "cell")).select(
-        F.col("id"),
-        "xs",
-        "ys",
-        "nv",
-        "cell",
+    out_cols = [
+        "id", "cell", "rect",
+        "lxmin", "lymin", "lxmax", "lymax",
+        "a_mask", "f_mask",
+    ]
+
+    # native rect masks: same min/max arithmetic as the kernel's rect fast
+    # path, identical operation order and epsilons, but pure Catalyst
+    step = cell_size / sub
+    shift = F.lit(1 << cells.GRID_SHIFT)
+    ci = (F.col("cell") / shift).cast("long") - cells.GRID_OFF
+    cj = F.col("cell") % shift - cells.GRID_OFF
+    x0 = ci.cast("double") * F.lit(cell_size)
+    y0 = cj.cast("double") * F.lit(cell_size)
+    a_terms = []
+    f_terms = []
+    for b in range(sub * sub):
+        sj, si = divmod(b, sub)  # row-major bit order (matches the kernel)
+        rx0 = x0 + F.lit(si * step)
+        ry0 = y0 + F.lit(sj * step)
+        ox = F.least(rx0 + F.lit(step), F.col("lxmax")) - F.greatest(rx0, F.col("lxmin"))
+        oy = F.least(ry0 + F.lit(step), F.col("lymax")) - F.greatest(ry0, F.col("lymin"))
+        a_b = (ox > 1e-9) & (oy > 1e-9)
+        f_b = a_b & (ox >= step - 1e-9) & (oy >= step - 1e-9)
+        a_terms.append(F.when(a_b, F.lit(1 << b)).otherwise(F.lit(0)))
+        f_terms.append(F.when(f_b, F.lit(1 << b)).otherwise(F.lit(0)))
+    rect_masks = (
+        cov.filter(F.col("rect"))
+        .withColumn("a_mask", sum(a_terms).cast("int"))
+        .withColumn("f_mask", sum(f_terms).cast("int"))
+        .select(*out_cols)
+    )
+
+    # general polygons: the clip kernel, spread first (the cover explosion
+    # often sits on top of a small AQE-coalesced shuffle)
+    gen = _repartition_for_kernel(cov.filter(~F.col("rect")))
+    gen_masks = gen.withColumn("m", masks("xs", "ys", "nv", "cell")).select(
+        *[c for c in out_cols if c not in ("a_mask", "f_mask")],
         F.col("m.a_mask").alias("a_mask"),
         F.col("m.f_mask").alias("f_mask"),
-    )
+    ).select(*out_cols)
+    return rect_masks.unionByName(gen_masks)
 
 
 def intersects_join_ri(
@@ -1051,25 +1120,29 @@ def intersects_join_ri(
     diagnostic."""
     lm = ri_masks(left, cell_size, sub, left_id).select(
         F.col("id").alias("id_l"),
-        F.col("xs").alias("xs_l"),
-        F.col("ys").alias("ys_l"),
-        F.col("nv").alias("nv_l"),
+        F.col("rect").alias("rect_l"),
+        "lxmin", "lymin", "lxmax", "lymax",
         "cell",
         F.col("a_mask").alias("a_l"),
         F.col("f_mask").alias("f_l"),
     )
     rm = ri_masks(right, cell_size, sub, right_id).select(
         F.col("id").alias("id_r"),
-        F.col("xs").alias("xs_r"),
-        F.col("ys").alias("ys_r"),
-        F.col("nv").alias("nv_r"),
+        F.col("rect").alias("rect_r"),
+        F.col("lxmin").alias("rxmin"),
+        F.col("lymin").alias("rymin"),
+        F.col("lxmax").alias("rxmax"),
+        F.col("lymax").alias("rymax"),
         "cell",
         F.col("a_mask").alias("a_r"),
         F.col("f_mask").alias("f_r"),
     )
     cand = lm.join(rm, "cell")
-    # definite NO pruned natively
+    # definite NO pruned natively; the surviving candidate set feeds three
+    # branches (definite-yes, native rect decision, exact kernel) —
+    # checkpoint so the mask join runs once
     cand = cand.filter((F.col("a_l").bitwiseAND(F.col("a_r"))) != 0)
+    cand = cand.localCheckpoint(eager=False)
     definite = (F.col("f_l").bitwiseAND(F.col("a_r")) != 0) | (
         F.col("a_l").bitwiseAND(F.col("f_r")) != 0
     )
@@ -1077,6 +1150,46 @@ def intersects_join_ri(
         "id_l", "id_r", F.lit("ri").alias("method")
     )
     ambiguous = cand.filter(~definite)
+
+    # rect × rect ambiguous pairs: the exact in-cell decision is pure
+    # arithmetic — clip left rect to the cell (positive extents required,
+    # mirroring the kernel's len(piece)>=3 check), then the overlap of that
+    # piece with the right rect must have area > 1e-9 (the kernel's own
+    # rect∩rect arithmetic and epsilon)
+    shift = F.lit(1 << cells.GRID_SHIFT)
+    cx0 = ((F.col("cell") / shift).cast("long") - cells.GRID_OFF).cast("double") * F.lit(cell_size)
+    cy0 = (F.col("cell") % shift - cells.GRID_OFF).cast("double") * F.lit(cell_size)
+    cx1 = cx0 + F.lit(cell_size)
+    cy1 = cy0 + F.lit(cell_size)
+    lcx = F.least(F.col("lxmax"), cx1) - F.greatest(F.col("lxmin"), cx0)
+    lcy = F.least(F.col("lymax"), cy1) - F.greatest(F.col("lymin"), cy0)
+    px = F.least(F.col("lxmax"), cx1, F.col("rxmax")) - F.greatest(
+        F.col("lxmin"), cx0, F.col("rxmin")
+    )
+    py = F.least(F.col("lymax"), cy1, F.col("rymax")) - F.greatest(
+        F.col("lymin"), cy0, F.col("rymin")
+    )
+    rect_verdict = (
+        (lcx > 0) & (lcy > 0) & (px > 0) & (py > 0) & (px * py > 1e-9)
+    )
+    both_rect = F.col("rect_l") & F.col("rect_r")
+    rect_yes = ambiguous.filter(both_rect & rect_verdict).select(
+        "id_l", "id_r", F.lit("exact").alias("method")
+    )
+    # non-rect ambiguous pairs: re-join flat ring payloads by id (the skinny
+    # mask join never multiplied them through the per-cell pair explosion)
+    lpay = left.select(
+        F.col(left_id).alias("id_l"), *_flat_ring_cols(F.col("rings"), "_l")
+    )
+    rpay = right.select(
+        F.col(right_id).alias("id_r"), *_flat_ring_cols(F.col("rings"), "_r")
+    )
+    ambiguous = (
+        ambiguous.filter(~both_rect)
+        .select("id_l", "id_r", "cell")
+        .join(lpay, "id_l")
+        .join(rpay, "id_r")
+    )
 
     @F.pandas_udf(BooleanType())
     def exact(
@@ -1115,7 +1228,7 @@ def intersects_join_ri(
     amb_yes = ambiguous.filter(
         exact("xs_l", "ys_l", "nv_l", "xs_r", "ys_r", "nv_r", "cell")
     ).select("id_l", "id_r", F.lit("exact").alias("method"))
-    allpairs = yes.unionByName(amb_yes)
+    allpairs = yes.unionByName(rect_yes).unionByName(amb_yes)
     return allpairs.groupBy("id_l", "id_r").agg(F.min("method").alias("method"))
 
 

@@ -263,36 +263,38 @@ def q16(spark, sf):
     "GROUP BY c.event_id",
 )
 def q17(spark, sf):
-    """As-of join via pd.merge_asof inside applyInPandas per user group —
-    the grouped-map surface (SURVEY.md §2.5 q17)."""
+    """As-of join (latest signup at-or-before each click, per user) as ONE
+    native window pass: union both event streams, order within each user by
+    (ts, signups-first-at-ties), and take the running max of the signup
+    epoch — no per-group Python, no join explosion, whole-stage codegen.
+    (A pd.merge_asof/applyInPandas variant was replaced: per-user grouped
+    dispatch paid milliseconds per TINY group, dominating wall time; the
+    grouped-map UDF surface stays covered by SURVEY §2.10.)"""
+    from pyspark.sql import Window
+
     e = T(spark, sf, "events")
-    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    signups = e.filter(F.col("event_type") == "signup").select("user_id", "ts")
-    merged = clicks.withColumn("side", F.lit("c")).unionByName(
-        signups.withColumn("event_id", F.lit(None).cast("long")).withColumn(
-            "side", F.lit("s")
-        )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("long").alias("sig_us")
     )
-
-    def asof(pdf: pd.DataFrame) -> pd.DataFrame:
-        c = pdf[pdf["side"] == "c"][["event_id", "ts"]].sort_values("ts")
-        s = pdf[pdf["side"] == "s"][["ts"]].sort_values("ts")
-        if len(c) == 0:
-            return pd.DataFrame(
-                {"event_id": pd.Series(dtype="int64"), "signup_us": pd.Series(dtype="float64")}
-            )
-        if len(s) == 0:
-            return pd.DataFrame({"event_id": c["event_id"], "signup_us": np.nan})
-        s = s.assign(signup_ts=s["ts"])
-        m = pd.merge_asof(c, s, on="ts", direction="backward")
-        us = m["signup_ts"].to_numpy().astype("datetime64[us]").astype("float64")
-        us[m["signup_ts"].isna().to_numpy()] = np.nan
-        return pd.DataFrame({"event_id": m["event_id"], "signup_us": us})
-
-    res = merged.groupBy("user_id").applyInPandas(
-        asof, "event_id long, signup_us double"
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("sig_us"),
     )
-    return res.select("event_id", F.col("signup_us").cast("long").alias("signup_us"))
+    # nulls-last on sig_us ⇒ at equal ts the signup row sorts BEFORE the
+    # click row, so s.ts <= c.ts tie semantics match the oracle's LEFT JOIN
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("sig_us").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = clicks.unionByName(signups).withColumn("last_sig", F.max("sig_us").over(w))
+    return (
+        ev.filter(F.col("event_id").isNotNull())
+        .groupBy("event_id")
+        .agg(F.max("last_sig").alias("signup_us"))
+    )
 
 
 @q(

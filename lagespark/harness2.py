@@ -23,10 +23,11 @@ from lagespark.operators import dedup, similarity, spatial, text
 )
 def q69(spark, sf):
     """EXACT data-scale point×point kNN join (ring-expansion over grid
-    cells; neither side broadcast) — oracle is the quadratic window-rank."""
+    cells; neither side broadcast; density-adaptive cell size) — oracle is
+    the quadratic window-rank."""
     pts = points_df(spark, sf)
     qs = pts.filter(F.col("pid") % 101 == 0)
-    return spatial.knn_join_points(qs, pts, k=3, cell_size=250.0)
+    return spatial.knn_join_points(qs, pts, k=3)
 
 # ===========================================================================
 # deduplication

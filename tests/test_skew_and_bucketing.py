@@ -328,6 +328,12 @@ def test_knn_join_points_exact_vs_bruteforce(spark):
     assert got_set == brute_set
     assert len(got) == len(pts) * 3
 
+    # density-adaptive cell size (the default) must return the identical
+    # result set — cell size only changes round counts, never the answer
+    auto = spatial.knn_join_points(df, df, k=3).toPandas()
+    auto_set = {(r.qid, r.nn_id, r.rank) for r in auto.itertuples()}
+    assert auto_set == brute_set
+
 
 def test_knn_join_points_plan_no_cartesian(spark):
     import io

@@ -36,6 +36,7 @@ HEADLINE = [
     "q66-geo-salted-join",  # explicit skew salting path
     "q75-ann-topk",       # embedding similarity search
     "q90-stream-tumble",  # windowed agg (batch mode)
+    "q69-geo-knn-points",  # data-scale kNN join (adaptive cell, annulus rings)
     "q68-geo-overlay-join",  # distributed polygon overlay (both sides data-scale)
     "q60-img-roundtrip",  # image payload decode + invariant
     "q72b-dedup-minhash-fast",  # PRODUCTION MinHash+LSH (xxhash64 int64 sigs)

@@ -236,6 +236,16 @@ def q76b(spark, sf):
     return similarity.ivf_topk(qs, e, k=5, n_centroids=16, n_probe=4)
 
 
+@q("q76c-ann-pq")  # approximate (quantized codes) → rows-only check
+def q76c(spark, sf):
+    """Product-quantization ANN (third scale path): per-subspace codebooks,
+    4-byte codes, asymmetric-distance scan over broadcast query LUTs, exact
+    re-rank of the shortlist; recall vs q75 asserted in tests."""
+    e = T(spark, sf, "embeddings")
+    qs = e.filter(F.col("vec_id") % 25 == 0)
+    return similarity.pq_topk(qs, e, k=5, m_sub=16, ks=32, rerank=50)
+
+
 # ===========================================================================
 # text analysis
 # ===========================================================================

@@ -9,10 +9,16 @@
   lsh_topk       — scale path: random-hyperplane LSH buckets (seeded,
                    deterministic) + exact refine within bucket; approximate
                    (recall measured in tests vs cosine_topk)
+  ivf_topk       — scale path: k-means inverted file, multi-probe queries,
+                   bucket equi-join + exact refine
+  pq_topk        — scale path: product-quantization codes (~25× smaller than
+                   the vectors), asymmetric-distance scan over broadcast
+                   query LUTs, exact re-rank of the shortlist
 
 At 10^12 rows the brute-force path holds as long as the TARGET set fits an
-executor (N×D floats); beyond that, lsh_topk buckets both sides by sign
-sketch so candidates co-locate in one shuffle.
+executor (N×D floats); beyond that, lsh_topk/ivf_topk bucket both sides so
+candidates co-locate in one shuffle, and pq_topk scans the compressed code
+column instead of the vectors.
 """
 
 from __future__ import annotations
@@ -322,6 +328,150 @@ def ivf_topk(
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nn_id"))
     return (
         cand.withColumn("cos", cos(F.col("qv"), F.col("tv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nn_id", "cos", "rank")
+    )
+
+
+def _kmeans_subspace(mat: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Plain (euclidean) Lloyd k-means for a PQ subspace — unlike
+    kmeans_centroids this does NOT normalize (subvectors are not unit
+    vectors). Deterministic; empty clusters re-seed deterministically."""
+    m = mat.astype(np.float64)
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), size=k, replace=False)]
+    for _ in range(iters):
+        d2 = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            sel = m[assign == c]
+            cent[c] = sel.mean(axis=0) if len(sel) else m[int(rng.integers(0, len(m)))]
+    return cent
+
+
+def pq_topk(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 5,
+    m_sub: int = 16,
+    ks: int = 32,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_rows: int = 100_000,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Product-quantization ANN (third scale path next to sign-LSH and IVF):
+
+      train   — seeded driver-side sample → per-subspace k-means codebooks
+                (m_sub subspaces × ks centroids; standard PQ practice)
+      encode  — each target compresses to m_sub small codes (defaults:
+                16 subspaces × 5 bits = 10 bytes — a 64-dim float32 vector
+                shrinks ~25×), one vectorized pandas UDF pass
+      scan    — asymmetric distance computation: per Arrow batch of codes,
+                score(q, t) = Σ_m LUT_q[m][code_m] where the per-query
+                lookup tables (queries · codebooks, exact on the query side)
+                are precomputed driver-side and broadcast; the batch scan is
+                ONE fancy-indexing gather + sum — no decompression
+      rerank  — per-partition top-`rerank` candidates per query merge
+                globally, re-join the TRUE vectors, exact cosine, rank ≤ k
+
+    Why it matters at 100 TB: the scan touches only the code column
+    (memory-bandwidth-bound over 16×-compressed data) and the exact math
+    only ever runs on rerank·|Q| rows. Approximate — recall vs the exact
+    baseline is asserted in tests (rerank is the recall lever)."""
+    dim_row = targets.select(vec_col).first()
+    dim = len(dim_row[0])
+    assert dim % m_sub == 0, "m_sub must divide the embedding dimension"
+    dsub = dim // m_sub
+
+    sample = (
+        targets.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(train_rows)
+        .select(vec_col)
+        .toPandas()
+    )
+    smat = _normalized(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    books = np.stack(
+        [
+            _kmeans_subspace(smat[:, m * dsub : (m + 1) * dsub], ks, seed=seed + m)
+            for m in range(m_sub)
+        ]
+    )  # (m_sub, ks, dsub)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(v: pd.Series) -> pd.Series:
+        mat = _normalized(np.stack(v.to_numpy()).astype(np.float64))
+        codes = np.empty((len(mat), m_sub), dtype=np.int32)
+        for m in range(m_sub):
+            sub = mat[:, m * dsub : (m + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = d2.argmin(axis=1).astype(np.int32)
+        return pd.Series(codes.tolist())
+
+    # bounded query set: exact LUTs (Q × m_sub × ks inner products) ride a
+    # broadcast — same size discipline as the exact-baseline paths
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    if len(qpdf) > MAX_EXACT_TARGET_ROWS:
+        raise ValueError("pq_topk: query set exceeds the broadcast bound")
+    qids = qpdf[id_col].to_numpy()
+    qmat = _normalized(np.stack(qpdf[vec_col].to_numpy()).astype(np.float64))
+    luts = np.stack(
+        [qmat[:, m * dsub : (m + 1) * dsub] @ books[m].T for m in range(m_sub)],
+        axis=1,
+    )  # (Q, m_sub, ks)
+    sc = targets.sparkSession.sparkContext
+    bc = sc.broadcast((qids, luts))
+
+    coded = _repartition_for_kernel(
+        targets.select(F.col(id_col).alias("nn_id"), encode(F.col(vec_col)).alias("codes"))
+    )
+
+    def scan(batches):
+        bqids, blut = bc.value
+        nq = len(bqids)
+        for pdf in batches:
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (B, m)
+            nn = pdf["nn_id"].to_numpy()
+            # ADC: scores[q, t] = Σ_m LUT[q, m, codes[t, m]]
+            scores = np.zeros((nq, len(nn)))
+            for m in range(m_sub):
+                scores += blut[:, m, :][:, codes[:, m]]
+            r = min(rerank, len(nn))
+            top = np.argpartition(-scores, r - 1, axis=1)[:, :r]  # (Q, r)
+            out_q = np.repeat(bqids, r)
+            out_t = nn[top].ravel()
+            out_s = np.take_along_axis(scores, top, axis=1).ravel()
+            yield pd.DataFrame({"qid": out_q, "nn_id": out_t, "adc": out_s})
+
+    cand = coded.mapInPandas(scan, "qid long, nn_id long, adc double")
+    if exclude_self:
+        cand = cand.filter(F.col("qid") != F.col("nn_id"))
+    from pyspark.sql import Window
+
+    wa = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("nn_id"))
+    short = (
+        cand.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= rerank)
+        .select("qid", "nn_id")
+    )
+    # exact re-rank on the shortlist only
+    qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    tv = targets.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("tv"))
+    pairs = short.join(F.broadcast(qv), "qid").join(tv, "nn_id")
+
+    @F.pandas_udf(DoubleType())
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = _normalized(np.stack(a.to_numpy()).astype(np.float64))
+        mb = _normalized(np.stack(b.to_numpy()).astype(np.float64))
+        return pd.Series(np.round(np.sum(ma * mb, axis=1), 6))
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nn_id"))
+    return (
+        pairs.withColumn("cos", cos(F.col("qv"), F.col("tv")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "nn_id", "cos", "rank")

@@ -119,6 +119,28 @@ def test_ann_ivf_recall(spark):
     assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
 
 
+def test_ann_pq_recall(spark):
+    """PQ/ADC top-k recall vs exact brute force. With exact re-rank of the
+    ADC shortlist, a wrong answer requires a true neighbor to fall outside
+    the top-`rerank` ADC candidates — the floor here is far above the LSH/
+    IVF ones because the shortlist is 10× k."""
+    from lagespark.operators import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = e.filter(F.col("vec_id") % 25 == 0)
+    exact = similarity.cosine_topk(qs, e, k=5).toPandas()
+    approx = similarity.pq_topk(qs, e, k=5, m_sub=16, ks=32, rerank=50).toPandas()
+    ex = {(r.qid, r.nn_id) for r in exact.itertuples()}
+    ap = {(r.qid, r.nn_id) for r in approx.itertuples()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.8, f"PQ recall {recall:.2f} below re-rank floor"
+    # determinism: a second run returns the identical result
+    again = similarity.pq_topk(qs, e, k=5, m_sub=16, ks=32, rerank=50).toPandas()
+    assert {(r.qid, r.nn_id, r.rank) for r in again.itertuples()} == {
+        (r.qid, r.nn_id, r.rank) for r in approx.itertuples()
+    }
+
+
 def test_phash_neardup_detection(spark):
     """Every injected duplicate is found; no false pairs at hamming <= 6."""
     image_ops.set_image_batching(spark)

@@ -87,6 +87,52 @@ def test_whole_stage_codegen_on_native_path(spark):
     assert "WholeStageCodegen" in c
 
 
+def test_asof_join_is_native_window(spark):
+    """q17's as-of join must be one native window pass — no Python workers
+    anywhere in the plan (the grouped-map variant it replaced would show
+    FlatMapGroupsInPandas)."""
+    from lagespark import harness
+
+    p = plan_of(harness.QUERIES["q17-join-asof"](spark, SF), "simple")
+    assert "FlatMapGroupsInPandas" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "Window" in p
+
+
+def test_ri_rect_masks_native_equals_kernel(spark):
+    """The native (Catalyst) rect mask arithmetic must produce EXACTLY the
+    masks the clip kernel produces: encode the same rectangles once as
+    4-vertex rings (native path) and once as 5-vertex rings with a split
+    edge (geometrically identical, fails the rect gate → kernel path) and
+    compare per-(feature, cell) masks."""
+    import pandas as pd
+
+    from lagespark.operators import spatial
+
+    rects = [(0.0, 0.0, 310.0, 260.0), (100.0, 120.0, 480.0, 130.0),
+             (250.0, 250.0, 500.0, 500.0), (10.0, 10.0, 20.0, 490.0)]
+
+    def pt(x, y):
+        return {"x": x, "y": y}
+
+    rows4, rows5 = [], []
+    for i, (x0, y0, x1, y1) in enumerate(rects):
+        mx = (x0 + x1) / 2
+        rows4.append((str(i), [[pt(x0, y0), pt(x1, y0), pt(x1, y1), pt(x0, y1)]],
+                      x0, y0, x1, y1))
+        rows5.append((str(i), [[pt(x0, y0), pt(mx, y0), pt(x1, y0), pt(x1, y1), pt(x0, y1)]],
+                      x0, y0, x1, y1))
+    cols = ["feature_id", "rings", "xmin", "ymin", "xmax", "ymax"]
+    f4 = spark.createDataFrame(pd.DataFrame(rows4, columns=cols))
+    f5 = spark.createDataFrame(pd.DataFrame(rows5, columns=cols))
+    m4 = spatial.ri_masks(f4, cell_size=250.0, sub=4).toPandas()
+    m5 = spatial.ri_masks(f5, cell_size=250.0, sub=4).toPandas()
+    assert m4["rect"].all() and not m5["rect"].any()  # paths actually differ
+    k4 = {(r.id, r.cell): (r.a_mask, r.f_mask) for r in m4.itertuples()}
+    k5 = {(r.id, r.cell): (r.a_mask, r.f_mask) for r in m5.itertuples()}
+    assert k4 == k5, "native rect masks diverge from the clip kernel"
+
+
 def test_overlay_join_cover_explosion_is_native(spark):
     """The distributed overlay join's cover explosion must be native
     (sequence/explode in codegen) — Python appears only at the final exact

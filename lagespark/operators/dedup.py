@@ -297,8 +297,17 @@ def minhash_jaccard_pairs(
     the shape a 100 TB near-dup sweep runs — the quadratic exact comparison
     never touches non-candidate pairs."""
     cand = minhash_pairs_fast(df, id_col, text_col, perms, band_rows, n)
+    # the refine compares HASHED shingle sets (xxhash64 per shingle, native):
+    # the pair join then shuffles compact long arrays instead of 32-char
+    # strings and array_intersect compares 8-byte ints. Set sizes and the
+    # Jaccard value are unchanged unless two distinct shingles collide in 64
+    # bits (~1e-19 per pair — the op is approximate-by-contract on recall
+    # already; exact-on-strings is ngram_jaccard_pairs)
     sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), shingle_col(text_col, n).alias("sh")
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(shingle_col(text_col, n), lambda s: F.xxhash64(s))
+        ).alias("sh"),
     )
     pairs = cand.join(
         sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a")), "a"

@@ -753,6 +753,7 @@ def overlay_join(
     right_id: str = "feature_id",
     round_to: int = 4,
     checkpoint_pairs: bool = True,
+    checkpoint_features: bool = True,
 ) -> DataFrame:
     """Distributed polygon ∩ polygon join for DATA-SCALE feature sets on
     BOTH sides (unlike the broadcast paths, which assume config-scale dims):
@@ -806,6 +807,13 @@ def overlay_join(
             F.col("rings"), F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
         ).alias("rect_r"),
     )
+    if checkpoint_features:
+        # each side feeds BOTH the cover explosion and the payload join —
+        # without persistence the upstream feature build executes twice per
+        # side (expensive for synthesized/derived inputs; for plain columnar
+        # scans pass False and let the scan repeat instead of materializing)
+        l = l.localCheckpoint(eager=False)
+        r = r.localCheckpoint(eager=False)
     # the rect flag (1 bool, computed once per feature) rides the SKINNY
     # cover join, so rect×rect pairs — decided entirely by bbox arithmetic —
     # never pay the ring-payload joins at all

@@ -241,6 +241,104 @@ def test_is_axis_rect_detection(spark):
         assert bool(r.got) == r.want, f"case {i}: want {r.want}, got {r.got}"
 
 
+def test_is_axis_rect_catalyst_numpy_parity_randomized(spark):
+    """The Catalyst rect gate (_is_axis_rect) and its numpy mirror
+    (_np_axis_rect) must agree on 400 seeded random quads: proper rects in
+    random traversals, plus mutations (perturbed vertex, swapped order,
+    duplicated corner, lying bbox) — one Spark job for all cases."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    cases = []
+    for _ in range(400):
+        x0, y0 = rng.uniform(0, 1000, 2)
+        w, h = rng.uniform(0.5, 400, 2)
+        x1, y1 = x0 + w, y0 + h
+        corners = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+        start = int(rng.integers(0, 4))
+        ring = corners[start:] + corners[:start]
+        if rng.random() < 0.5:
+            ring = ring[::-1]
+        kind = rng.integers(0, 5)
+        bbox = (x0, y0, x1, y1)
+        if kind == 1:  # perturb one vertex off the lattice of corners
+            i = int(rng.integers(0, 4))
+            ring[i] = (ring[i][0] + rng.uniform(0.01, 5), ring[i][1])
+        elif kind == 2:  # duplicate a corner (degenerate spike)
+            i = int(rng.integers(0, 4))
+            ring[i] = ring[(i + 2) % 4]
+        elif kind == 3:  # bowtie: swap two adjacent vertices
+            ring[1], ring[2] = ring[2], ring[1]
+        elif kind == 4:  # bbox lies about the extent
+            bbox = (x0, y0, x1 + 1.0, y1)
+        rr = [np.array(ring, dtype=np.float64)]
+        cases.append(
+            {
+                "rings": [[{"x": float(px), "y": float(py)} for px, py in ring]],
+                "xmin": bbox[0], "ymin": bbox[1],
+                "xmax": bbox[2], "ymax": bbox[3],
+                "want": spatial._np_axis_rect(rr, *bbox),
+            }
+        )
+    pdf = pd.DataFrame(cases)
+    got = (
+        spark.createDataFrame(pdf)
+        .withColumn(
+            "got",
+            spatial._is_axis_rect(
+                F.col("rings"), F.col("xmin"), F.col("ymin"),
+                F.col("xmax"), F.col("ymax"),
+            ),
+        )
+        .select("want", "got")
+        .toPandas()
+    )
+    mism = got[got["want"] != got["got"]]
+    assert mism.empty, f"{len(mism)} Catalyst/numpy rect-gate disagreements"
+    assert got["want"].any() and not got["want"].all()  # both classes present
+
+
+def test_flat_ring_roundtrip_randomized(spark):
+    """_flat_ring_cols ∘ rings_from_flat must reproduce the input rings
+    exactly — random polygons with holes, one Spark job."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from lagespark.kernels import geom
+
+    rng = np.random.default_rng(13)
+    rows = []
+    want = []
+    for i in range(100):
+        n_rings = int(rng.integers(1, 4))
+        rings = []
+        for _ in range(n_rings):
+            nv = int(rng.integers(3, 12))
+            rings.append(rng.uniform(0, 1000, (nv, 2)).round(6))
+        rows.append(
+            {
+                "id": i,
+                "rings": [
+                    [{"x": float(x), "y": float(y)} for x, y in ring]
+                    for ring in rings
+                ],
+            }
+        )
+        want.append(rings)
+    df = spark.createDataFrame(pd.DataFrame(rows)).select(
+        "id", *spatial._flat_ring_cols(F.col("rings"), "")
+    )
+    out = df.toPandas().sort_values("id").reset_index(drop=True)
+    for i in range(len(out)):
+        back = geom.rings_from_flat(out["xs"][i], out["ys"][i], out["nv"][i])
+        assert len(back) == len(want[i])
+        for a, b in zip(back, want[i]):
+            assert np.array_equal(a, b), f"ring mismatch for id {i}"
+
+
 def test_s2_pip_join_equals_grid_pip_join(spark):
     """The S2-indexed PIP join (sphere cells as the join key) must return
     exactly the rows the grid-indexed join returns — side-consistent

@@ -247,6 +247,20 @@ def q64(spark, sf):
     )
 
 
+@q("q64b-multimodal-frames")
+def q64b(spark, sf):
+    """Frame/window sampling over the AV table (native sampling schedule →
+    one stubbed-decode pass): per-type sample counts + byte totals."""
+    av = image_ops.generate_av(spark, 1000)
+    frames = image_ops.sample_av_frames(av, fps=1.0, max_samples=8)
+    return frames.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.countDistinct("media_id").alias("n_media"),
+        F.sum(F.length("data")).alias("total_bytes"),
+        F.max("ts_ms").alias("max_ts_ms"),
+    )
+
+
 @q("q65-img-geo-join")
 def q65(spark, sf):
     """Images × Lagefaktor zones: the graft join — geotagged image records

@@ -408,6 +408,76 @@ def decode_av_features(av: DataFrame, real_codecs: bool = False) -> DataFrame:
     )
 
 
+def sample_av_frames(
+    av: DataFrame,
+    fps: float = 1.0,
+    max_samples: int = 16,
+    real_codecs: bool = False,
+) -> DataFrame:
+    """Frame/window sampling over audio+video rows — the `frame-sample`
+    multimodal op. Plan shape (the part that matters at 100 TB):
+
+      1. the sampling SCHEDULE is pure Catalyst — each media row explodes
+         to min(max_samples, floor(duration·fps)) sample timestamps with
+         native sequence/explode arithmetic; nothing decodes more than the
+         sampled instants
+      2. one mapInPandas pass extracts the sample at each (payload, ts) —
+         video rows yield a 16×16 RGB frame, audio rows a 256-sample s16
+         window
+
+    STUB: no AV codec libraries exist in this container; real_codecs=True
+    raises at the marked seam (ffmpeg `-ss <ts>` / soundfile.seek would slot
+    in). The default path emits DETERMINISTIC fake samples (Philox keyed on
+    (media_id, sample_no)) so schema, schedule arithmetic, partitioning and
+    batch shape are real and tested."""
+    if real_codecs:
+        raise NotImplementedError(
+            "audio/video codecs unavailable in this environment; "
+            "plug ffmpeg -ss / soundfile here on a real cluster"
+        )
+    n_samp = F.least(
+        F.lit(max_samples),
+        F.greatest(F.lit(1), F.floor(F.col("duration_ms") * fps / 1000.0)),
+    ).cast("int")
+    sched = av.withColumn(
+        "sample_no", F.explode(F.sequence(F.lit(0), n_samp - 1))
+    ).withColumn("ts_ms", (F.col("sample_no") * (1000.0 / fps)).cast("long"))
+
+    import zlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                key = zlib.crc32(r.media_id.encode())
+                g = np.random.Generator(
+                    np.random.Philox(key=key, counter=int(r.sample_no))
+                )
+                if r.media_type == "video":
+                    data = g.integers(0, 256, 16 * 16 * 3, dtype=np.uint8).tobytes()
+                    w = h = 16
+                else:
+                    data = g.integers(-32768, 32768, 256, dtype=np.int16).tobytes()
+                    w = h = 0
+                rows.append(
+                    (r.media_id, r.media_type, int(r.sample_no), int(r.ts_ms),
+                     data, w, h)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "media_type", "sample_no", "ts_ms",
+                         "data", "w", "h"],
+            )
+
+    return sched.select(
+        "media_id", "media_type", "sample_no", "ts_ms", "payload"
+    ).mapInPandas(
+        run,
+        "media_id string, media_type string, sample_no int, ts_ms long, "
+        "data binary, w int, h int",
+    )
+
+
 def generate_av(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
     """Deterministic fake audio/video table (opaque payload + metadata)."""
 

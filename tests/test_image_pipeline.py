@@ -67,6 +67,32 @@ def test_multimodal_stub(spark):
         image_ops.decode_av_features(av, real_codecs=True)
 
 
+def test_av_frame_sampling(spark):
+    """sample_av_frames: the native schedule emits exactly
+    min(max_samples, floor(duration·fps)) samples per media row; samples
+    are deterministic across partitionings; the real-codec seam raises."""
+    av = image_ops.generate_av(spark, 120, partitions=3)
+    frames = image_ops.sample_av_frames(av, fps=1.0, max_samples=8).toPandas()
+    meta = av.select("media_id", "media_type", "duration_ms").toPandas()
+    counts = frames.groupby("media_id").size()
+    for r in meta.itertuples():
+        want = min(8, max(1, int(r.duration_ms * 1.0 / 1000.0)))
+        assert counts[r.media_id] == want, (r.media_id, counts[r.media_id], want)
+    vid = frames[frames.media_type == "video"]
+    aud = frames[frames.media_type == "audio"]
+    assert (vid["data"].str.len() == 16 * 16 * 3).all() and (vid.w == 16).all()
+    assert (aud["data"].str.len() == 256 * 2).all() and (aud.w == 0).all()
+    # deterministic under a different partitioning
+    av2 = image_ops.generate_av(spark, 120, partitions=7)
+    again = image_ops.sample_av_frames(av2, fps=1.0, max_samples=8).toPandas()
+    key = ["media_id", "sample_no"]
+    a = frames.sort_values(key).reset_index(drop=True)
+    b = again.sort_values(key).reset_index(drop=True)
+    assert (a["data"] == b["data"]).all() and (a["ts_ms"] == b["ts_ms"]).all()
+    with pytest.raises(NotImplementedError):
+        image_ops.sample_av_frames(av, real_codecs=True)
+
+
 def test_ann_lsh_recall(spark):
     """LSH top-k recall vs exact brute force (approximate scale path)."""
     from lagespark.operators import similarity

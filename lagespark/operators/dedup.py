@@ -29,10 +29,13 @@ def _spread(df: DataFrame) -> DataFrame:
     """Repartition before a CPU-bound NATIVE stage: a small parquet file
     scans as ONE partition, so the shingle/signature projection — the
     expensive map work of the whole operator — would run single-threaded.
-    One tiny shuffle of (id, text) buys full parallelism; at real scale the
-    scan already has enough partitions and this is a cheap no-op-ish
-    round-robin."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    One tiny shuffle of (id, text) buys full parallelism. Skipped when the
+    plan already has enough partitions (at real scale the scan does, and an
+    unconditional repartition would be a full extra shuffle of the corpus)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -811,9 +811,13 @@ def overlay_join(
         # each side feeds BOTH the cover explosion and the payload join —
         # without persistence the upstream feature build executes twice per
         # side (expensive for synthesized/derived inputs; for plain columnar
-        # scans pass False and let the scan repeat instead of materializing)
-        l = l.localCheckpoint(eager=False)
-        r = r.localCheckpoint(eager=False)
+        # scans pass False and let the scan repeat instead of materializing).
+        # Repartition first: the checkpoint captures the AQE-coalesced
+        # layout (~1 partition for small-byte frames), serializing every
+        # downstream map stage.
+        par = l.sparkSession.sparkContext.defaultParallelism
+        l = l.repartition(par).localCheckpoint(eager=False)
+        r = r.repartition(par).localCheckpoint(eager=False)
     # the rect flag (1 bool, computed once per feature) rides the SKINNY
     # cover join, so rect×rect pairs — decided entirely by bbox arithmetic —
     # never pay the ring-payload joins at all
@@ -845,10 +849,15 @@ def overlay_join(
         # kernel); without persistence each union branch would re-run the
         # whole cover join + dedup (no exchange reuse — the branches prune
         # different columns). Lazy local checkpoint: skinny, bounded by the
-        # output size, materialized by the caller's first action.
+        # output size, materialized by the caller's first action. The
+        # repartition is REQUIRED: checkpointing captures the plan's final
+        # AQE-coalesced layout, which for skinny rows is ONE partition —
+        # every downstream branch (including the native rect arithmetic over
+        # millions of pairs) would run single-threaded otherwise.
         # checkpoint_pairs=False keeps the plan fully visible for the
         # plan-shape tests.
-        cand = cand.localCheckpoint(eager=False)
+        par = cand.sparkSession.sparkContext.defaultParallelism
+        cand = cand.repartition(par).localCheckpoint(eager=False)
 
     both_rect = F.col("rect_l") & F.col("rect_r")
     # rect×rect: fully native bbox-overlap area (a rect IS its bbox; overlap
@@ -1031,8 +1040,12 @@ def ri_masks(
     )
     # the cover feeds two mask branches (native rect / kernel) — checkpoint
     # so the feature build + explosion runs once (no exchange reuse across
-    # branches with different pruning; see overlay_join)
-    cov = cov.localCheckpoint(eager=False)
+    # branches with different pruning; see overlay_join). Repartition first:
+    # the checkpoint captures the AQE-coalesced layout (often ONE partition
+    # for skinny rows), which would serialize both mask branches.
+    cov = cov.repartition(
+        cov.sparkSession.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=False)
     sub_area = (cell_size / sub) ** 2
 
     @F.pandas_udf("a_mask int, f_mask int")
@@ -1181,7 +1194,11 @@ def intersects_join_ri(
     # branches (definite-yes, native rect decision, exact kernel) —
     # checkpoint so the mask join runs once
     cand = cand.filter((F.col("a_l").bitwiseAND(F.col("a_r"))) != 0)
-    cand = cand.localCheckpoint(eager=False)
+    # repartition before checkpoint — see overlay_join: the captured layout
+    # is otherwise AQE-coalesced to ~1 partition and every branch serializes
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=False)
     definite = (F.col("f_l").bitwiseAND(F.col("a_r")) != 0) | (
         F.col("a_l").bitwiseAND(F.col("f_r")) != 0
     )

@@ -58,43 +58,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness sweep is budget-capped at ~50 queries and walks
-# queries() in iteration order. Rounds 1-2 spent that window on q01-q67 (all
-# driver-green in CORRECTNESS_r02.json), so round 3 rotates the window: the
-# oracled queries that have NEVER had a driver row go FIRST, then the
-# already-green oracled queries, then rows-only entries. Keep this list (and
-# registration order generally) FROZEN so the driver window stays
-# predictable; the union of rounds then driver-evidences every oracled
-# operator.
+# queries() in iteration order. Rounds 1-3 driver-evidenced every ORACLED
+# query (r1+r2 covered q01-q67; r3's rotation covered the remaining 29,
+# CORRECTNESS_r03.json = 50/50 all-true). Round 4 rotates the window one
+# final time onto the only queries with no driver row ever: the 22
+# rows-only entries (driver records execution + row counts, err=no_oracle)
+# followed by the 29 oracled queries last driver-checked in r02 (two rounds
+# stale — fresh all-true rows). Union across rounds then driver-touches all
+# 101 registered queries. ONE deliberate edit per round; otherwise FROZEN.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    "q68-geo-overlay-join",
-    "q82-geo-intersects-ri",
-    "q83-geo-pip-s2",
-    "q84-geo-range-rollup",
-    "q86-geo-within-dist",
-    "q59b-geo-tile-rect",
-    "q69-geo-knn-points",
-    "q70-dedup-exact",
-    "q71-dedup-ngram-jaccard",
-    "q72-dedup-minhash-lsh",
-    "q73-dedup-simhash",
-    "q74-dedup-embed-cosine",
-    "q82b-dedup-simhash-pairs",
-    "q81-dedup-components",
-    "q75-ann-topk",
-    "q77-text-langid",
-    "q78-text-quality",
-    "q79-text-tokens",
-    "q80-text-fingerprint",
-    "q96-dedup-corpus",
-    "q97-sample-hash",
-    "q98-text-normalize",
-    "q99-corpus-stats",
-    "q90-stream-tumble",
-    "q91-stream-slide",
-    "q92-stream-session",
-    "q94-stream-stream-join",
-    "q95-spatiotemporal-rollup",
-    "q93-stream-geo",
+    # -- 20 rows-only queries with NO driver row in any round --
+    "q57-geo-s2cell",
+    "q72b-dedup-minhash-fast",
+    "q71b-dedup-lsh-jaccard",
+    "q74b-dedup-embed-cosine-lsh",
+    "q76-ann-lsh",
+    "q76b-ann-ivf",
+    "q76c-ann-pq",
+    "q58-geo-overlay-areas",
+    "q59-geo-tile",
+    "q60-img-roundtrip",
+    "q61-img-decode-stats",
+    "q62-img-transcode",
+    "q63-img-resize",
+    "q69-img-tile-chain",
+    "q87-img-arrow-stats",
+    "q85-img-phash-dedup",
+    "q85b-img-dedup-corpus",
+    "q64-multimodal-stub",
+    "q64b-multimodal-frames",
+    "q65-img-geo-join",
+    # -- 2 rows-only queries last driver-run in r01 --
+    "q22-agg-approx",
+    "q28-percentile-approx",
+    # -- 29 oracled queries last driver-checked in r02 (stale refresh) --
+    "q27-collect",
+    "q29-pivot",
+    "q30-rank",
+    "q31-analytic",
+    "q32-frame",
+    "q33-topk-group",
+    "q34-sort",
+    "q35-topk",
+    "q36-union",
+    "q37-intersect",
+    "q38-except",
+    "q39-window-extras",
+    "q45-scalar-fuzzy",
+    "q40-scalar-string",
+    "q41-scalar-date",
+    "q42-scalar-math",
+    "q43-scalar-array",
+    "q44-scalar-json",
+    "q46-scalar-date2",
+    "q47-scalar-map",
+    "q50-geo-cell",
+    "q51-geo-pip",
+    "q52-geo-zone",
+    "q53-geo-range-join",
+    "q54-geo-knn",
+    "q55-geo-score",
+    "q56-geo-overlay-rect",
+    "q66-geo-salted-join",
+    "q67-geo-knn3",
 )
 
 
@@ -110,14 +136,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         run.__doc__ = fn.__doc__
         return run
 
-    # oracle-bearing queries FIRST, never-driver-checked ones first among
-    # them (see _DRIVER_PRIORITY); registration order preserved within each
-    # group; rows-only entries follow
+    # round-4 window: _DRIVER_PRIORITY order first (rows-only entries that
+    # have never had a driver row, then the stalest oracled ones);
+    # everything else keeps registration order after them
     prio = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
-    names = sorted(
-        reg.QUERIES,
-        key=lambda n: (n not in reg.ORACLES, prio.get(n, len(prio))),
-    )
+    names = sorted(reg.QUERIES, key=lambda n: prio.get(n, len(prio)))
     return {name: wrap(reg.QUERIES[name]) for name in names}
 
 

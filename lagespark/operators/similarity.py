@@ -242,6 +242,42 @@ def cosine_pairs_lsh(
     )
 
 
+def _train_sample_pdf(
+    targets: DataFrame,
+    id_col: str,
+    vec_col: str,
+    train_rows: int,
+    seed: int,
+    oversample: float = 4.0,
+) -> pd.DataFrame:
+    """Seeded pseudo-random training sample of `train_rows` vectors.
+
+    Two-stage at scale: a `Sample` node prunes the scan to ~oversample×
+    train_rows rows BEFORE the ranking (at 10^12 rows a full-table
+    orderBy(xxhash64).limit would scan+rank everything just to draw 4k
+    rows), then a deterministic top-k by xxhash64(id, seed) inside the
+    sample fixes the draw. limit() alone is wrong (takes the first
+    partitions — on sorted/clustered tables the centroids would miss whole
+    regions); sample() alone is wrong (row count varies). Small tables
+    (n <= train_rows) skip the sample stage entirely, so the draw is the
+    whole table and exactly reproducible regardless of layout."""
+    n = targets.count()
+    base = targets.select(F.col(id_col), F.col(vec_col))
+    if n > train_rows:
+        frac = min(1.0, oversample * train_rows / n)
+        if frac < 1.0:
+            base = base.sample(fraction=frac, seed=seed)
+    pdf = (
+        base.orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(train_rows)
+        .select(vec_col)
+        .toPandas()
+    )
+    if pdf.empty:
+        raise ValueError("ANN codebook training: target table is empty")
+    return pdf
+
+
 def kmeans_centroids(
     mat: np.ndarray, k: int, iters: int = 8, seed: int = 42
 ) -> np.ndarray:
@@ -283,17 +319,10 @@ def ivf_topk(
     window rank. At scale both sides shuffle once on the bucket id.
 
     The k-means index trains on a CAPPED driver-side sample (`train_rows`,
-    standard IVF practice) — never the full table. The sample is a seeded
-    pseudo-random draw (order by xxhash64 of the id, a distributed top-k),
-    not limit(): limit takes the first partitions, which on sorted/clustered
-    tables would train centroids that miss whole regions of the space."""
-    sample = (
-        targets.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
-        .limit(train_rows)
-        .select(vec_col)
-        .toPandas()
-    )
+    standard IVF practice) — never the full table: a Sample node prunes the
+    scan, then a seeded xxhash64 top-k inside the sample fixes the draw
+    deterministically (see _train_sample_pdf)."""
+    sample = _train_sample_pdf(targets, id_col, vec_col, train_rows, seed)
     cent = kmeans_centroids(np.stack(sample[vec_col].to_numpy()), n_centroids, seed=seed)
 
     @F.pandas_udf(LongType())
@@ -382,18 +411,14 @@ def pq_topk(
     (memory-bandwidth-bound over 16×-compressed data) and the exact math
     only ever runs on rerank·|Q| rows. Approximate — recall vs the exact
     baseline is asserted in tests (rerank is the recall lever)."""
-    dim_row = targets.select(vec_col).first()
+    dim_row = targets.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if dim_row is None:
+        raise ValueError("pq_topk: target table is empty (or all vectors NULL)")
     dim = len(dim_row[0])
     assert dim % m_sub == 0, "m_sub must divide the embedding dimension"
     dsub = dim // m_sub
 
-    sample = (
-        targets.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
-        .limit(train_rows)
-        .select(vec_col)
-        .toPandas()
-    )
+    sample = _train_sample_pdf(targets, id_col, vec_col, train_rows, seed)
     smat = _normalized(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
     books = np.stack(
         [
@@ -413,10 +438,17 @@ def pq_topk(
         return pd.Series(codes.tolist())
 
     # bounded query set: exact LUTs (Q × m_sub × ks inner products) ride a
-    # broadcast — same size discipline as the exact-baseline paths
+    # broadcast — same size discipline as the exact-baseline paths. The
+    # count() guard runs BEFORE the driver-side collect (an oversized query
+    # table must raise, not OOM the driver first — same ordering as
+    # _broadcast_matrix).
+    n_q = queries.count()
+    if n_q > MAX_EXACT_TARGET_ROWS:
+        raise ValueError(
+            f"pq_topk: query set has {n_q} rows > broadcast bound "
+            f"{MAX_EXACT_TARGET_ROWS}"
+        )
     qpdf = queries.select(id_col, vec_col).toPandas()
-    if len(qpdf) > MAX_EXACT_TARGET_ROWS:
-        raise ValueError("pq_topk: query set exceeds the broadcast bound")
     qids = qpdf[id_col].to_numpy()
     qmat = _normalized(np.stack(qpdf[vec_col].to_numpy()).astype(np.float64))
     luts = np.stack(
@@ -447,7 +479,11 @@ def pq_topk(
             out_s = np.take_along_axis(scores, top, axis=1).ravel()
             yield pd.DataFrame({"qid": out_q, "nn_id": out_t, "adc": out_s})
 
-    cand = coded.mapInPandas(scan, "qid long, nn_id long, adc double")
+    # schema follows the actual id dtypes (ids need not be long — e.g.
+    # string image_ids); qid comes from the query side, nn_id from targets
+    qid_t = queries.schema[id_col].dataType.simpleString()
+    nnid_t = targets.schema[id_col].dataType.simpleString()
+    cand = coded.mapInPandas(scan, f"qid {qid_t}, nn_id {nnid_t}, adc double")
     if exclude_self:
         cand = cand.filter(F.col("qid") != F.col("nn_id"))
     from pyspark.sql import Window

@@ -125,8 +125,15 @@ def feature_cover_pdf(
             if _np_axis_rect(feats.rings[fid], xmin, ymin, xmax, ymax):
                 # an axis rect IS its bbox: the bbox cover is already exact
                 # (skips len(cand) Sutherland–Hodgman clips per feature —
-                # the dominant driver-side cost for large rect sets)
-                pass
+                # the dominant driver-side cost for large rect sets) — except
+                # when the rect's high edge sits exactly ON a grid line: the
+                # bbox cover then includes the next cell over with zero-width
+                # overlap, which the clip path (clip_area > 0) would drop.
+                # Trim those so exact=True covers stay minimal.
+                ci, cj = cells.grid_decode(cand)
+                zero_w = (ci * cell_size == xmax) | (cj * cell_size == ymax)
+                if zero_w.any():
+                    cand = cand[~zero_w]
             else:
                 keep = []
                 for c in cand:
@@ -428,8 +435,11 @@ def knn_auto_cell_size(
         F.min(y).alias("y0"),
         F.max(y).alias("y1"),
     ).first()
+    if not st["n"]:
+        # empty targets: min/max are None — bail before the arithmetic
+        return 250.0
     area = (st["x1"] - st["x0"]) * (st["y1"] - st["y0"])
-    if not st["n"] or area <= 0:
+    if area <= 0:
         return 250.0
     density = st["n"] / area
     return float(np.clip(np.sqrt(per_disk * k / (9.0 * density)), 1e-6, 1e7))
@@ -483,11 +493,22 @@ def knn_join_points(
         F.col(y).alias("ty"),
         "cell",
     )
-    pending = with_grid_cell(queries, x, y, cell_size).select(
-        F.col(id_col).alias("qid"),
-        F.col(x).alias("qx"),
-        F.col(y).alias("qy"),
-        F.col("cell").alias("qcell"),
+    # ONE query row per id: duplicate qids (synthesized keys are not unique
+    # — CLAUDE.md) would duplicate every candidate inside the per-qid window
+    # and corrupt ranks (rank 2 becomes a repeat of rank 1, pushing the true
+    # k-th neighbor out). Deterministic pick: min (qx, qy) struct. The agg is
+    # map-side combinable and skinny (3 cols), so the extra shuffle is cheap
+    # relative to the ring-join rounds it protects.
+    q0 = (
+        queries.select(
+            F.col(id_col).alias("qid"), F.col(x).alias("qx"), F.col(y).alias("qy")
+        )
+        .groupBy("qid")
+        .agg(F.min(F.struct(F.col("qx"), F.col("qy"))).alias("_q"))
+        .select("qid", F.col("_q.qx").alias("qx"), F.col("_q.qy").alias("qy"))
+    )
+    pending = with_grid_cell(q0, "qx", "qy", cell_size).select(
+        "qid", "qx", "qy", F.col("cell").alias("qcell")
     )
     shift = F.lit(1 << cells.GRID_SHIFT)
 
@@ -502,14 +523,14 @@ def knn_join_points(
     carried = None  # (qid, nn_id, dist) top-k so far for still-pending queries
     topk = None
     done = None
-    # one cheap scan up front; per-round pending size is then tracked
-    # arithmetically (a done query emits exactly k finished rows), so the
-    # round's single action can materialize the FINISHED checkpoint instead
-    # of recounting pending — the returned plan reads cached partitions
-    # rather than re-running the window/rank
-    n_pending = pending.count()
     r, rp = 1, 0
-    for _ in range(max_rounds):
+    # convergence action cadence: every round for the first two (pending
+    # shrinks geometrically, most queries close there), then every
+    # `check_every` rounds (dedup.duplicate_components pattern) — uncounted
+    # rounds stay fully lazy and their checkpoints materialize inside the
+    # next counted round's single job
+    check_every = 2
+    for it in range(max_rounds):
         qi = (F.col("qcell") / shift).cast("long")
         qj = F.col("qcell") % shift
         if rp == 0:
@@ -543,19 +564,23 @@ def knn_join_points(
         )
         all_cand = new_cand if carried is None else new_cand.unionByName(carried)
         w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("nn_id"))
+        # topk is THE round's checkpoint: finished, carried, and done all
+        # derive from it, so the round's annulus join + window/rank executes
+        # exactly once (checkpointing only the derived frames would re-run
+        # that lineage once per consumer)
         topk = (
             all_cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "nn_id", "dist", "rank")
+            .localCheckpoint(eager=False)
         )
         kth = topk.groupBy("qid").agg(
             F.max("dist").alias("kd"), F.count(F.lit(1)).alias("nc")
         )
         # STRICT <: a point in an unexplored cell can sit at exactly
         # r·cell_size (lattice coordinates) and tie-break ahead on id.
-        # Checkpointed: `done` feeds BOTH the results union and the pending
-        # anti-join — without truncation each round would recompute the
-        # whole window/rank and lineage would double per round.
+        # Checkpointed (tiny): `done` feeds the results union, the pending
+        # anti-join, AND the carried anti-join.
         done = (
             kth.filter(
                 (F.col("nc") >= k) & (F.col("kd") < F.lit(float(r) * cell_size))
@@ -563,22 +588,21 @@ def knn_join_points(
             .select("qid")
             .localCheckpoint(eager=False)
         )
-        finished = topk.join(done, "qid").localCheckpoint(eager=False)
+        finished = topk.join(done, "qid")
         results = finished if results is None else results.unionByName(finished)
         pending = pending.join(done, pending.qid == done.qid, "left_anti")
-        # carry the pending queries' current top-k into the next round
-        # (lazy-checkpointed: the carried set otherwise re-runs the whole
-        # window/rank lineage every subsequent round)
-        carried = (
-            topk.join(done, "qid", "left_anti")
-            .select("qid", "nn_id", "dist")
-            .localCheckpoint(eager=False)
-        )
-        # the round's ONLY action: materializes finished (and done upstream);
-        # a done query contributes exactly k rows (nc >= k ∧ rank <= k)
-        n_pending -= finished.count() // k
-        if n_pending == 0:
-            return results
+        # carry the pending queries' current top-k into the next round —
+        # cheap derivation from the checkpointed topk, no extra checkpoint
+        carried = topk.join(done, "qid", "left_anti").select("qid", "nn_id", "dist")
+        if it < 2 or (it + 1) % check_every == 0 or it == max_rounds - 1:
+            # the counted round's ONLY action: materializes every stacked
+            # lazy checkpoint and returns the convergence metric. A direct
+            # pending count (not `finished.count() // k` arithmetic) stays
+            # exact when query ids are NOT unique — synthesized keys from
+            # lineitem are not (CLAUDE.md), and under-decrementing would
+            # waste all max_rounds on empty jobs.
+            if pending.count() == 0:
+                return results
         rp, r = r, r * 2
     # max_rounds exhausted: emit best-effort for the stragglers (sparse data)
     return results.unionByName(topk.join(done, "qid", "left_anti")) if results is not None else topk

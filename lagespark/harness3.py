@@ -236,12 +236,16 @@ def q85b(spark, sf):
 
 @q("q64-multimodal-stub")
 def q64(spark, sf):
-    """Audio/video metadata plumbing with STUBBED codec (deterministic fake
-    features; NotImplementedError seam for real codecs — see image_ops)."""
+    """Audio/video feature extraction with REAL container decode: payloads
+    are LAV1 containers (image/av.py — qdct video frames / deflated s16
+    audio windows), every unit decoded, stats over actual pixels/samples.
+    (Query key keeps its historical name; only EXTERNAL codecs are stubbed
+    behind the real_codecs seam.)"""
     av = image_ops.generate_av(spark, 1000)
     feats = image_ops.decode_av_features(av)
     return feats.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n"),
+        F.sum("n_units").alias("total_units"),
         F.round(F.avg("sig_mean"), 3).alias("avg_sig_mean"),
         F.sum("n_bytes").alias("total_bytes"),
     )
@@ -249,8 +253,9 @@ def q64(spark, sf):
 
 @q("q64b-multimodal-frames")
 def q64b(spark, sf):
-    """Frame/window sampling over the AV table (native sampling schedule →
-    one stubbed-decode pass): per-type sample counts + byte totals."""
+    """Frame/window sampling over the AV table: native sample-count
+    arithmetic → one decode pass that index-seeks ONLY the sampled units
+    of each LAV1 payload (ffmpeg -ss analogue)."""
     av = image_ops.generate_av(spark, 1000)
     frames = image_ops.sample_av_frames(av, fps=1.0, max_samples=8)
     return frames.groupBy("media_type").agg(

@@ -8,10 +8,12 @@ batch instead of three UDF crossings (SURVEY.md §4 'pipelining').
 Arrow batch sizing: callers lower spark.sql.execution.arrow.maxRecordsPerBatch
 (IMG_BATCH) before running payload stages — UDF memory is not spill-managed.
 
-Multimodal stubs: audio/video decode is NOT implementable in this container
-(no codec libs — SURVEY.md §0); decode_av_features keeps the Spark-side
-plumbing real (schema, batching, metadata) with a clearly-marked
-deterministic fake for the codec step.
+Multimodal: audio/video rows carry the repo's own LAV1 container (header +
+unit index + qdct video frames / deflated s16 audio windows — image/av.py),
+so decode_av_features and sample_av_frames decode REAL bytes; frame sampling
+seeks through the unit index and decodes only the sampled instants. External
+codecs (H.264/AAC/...) stay behind the real_codecs NotImplementedError seam
+— no such libraries exist in this sandbox (SURVEY.md §0).
 """
 
 from __future__ import annotations
@@ -355,37 +357,40 @@ def phash_dedup_corpus(images: DataFrame, max_hamming: int = 6) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# multimodal stubs (audio/video) — plumbing real, codec faked
+# multimodal (audio/video) — real LAV1 container decode; external-codec seam
 # ---------------------------------------------------------------------------
 
 
 def decode_av_features(av: DataFrame, real_codecs: bool = False) -> DataFrame:
     """Audio/video feature extraction over opaque binary + typed metadata.
 
-    STUB: no audio/video codec libraries exist in this container. With
-    real_codecs=True this raises NotImplementedError (the marked seam where
-    ffmpeg/soundfile would slot in); the default path computes DETERMINISTIC
-    FAKE features (byte-stream stats standing in for decoded samples) so the
-    Spark-side schema/partitioning/batch shape is real and tested."""
+    REAL decode: payloads are LAV1 containers (image/av.py — qdct video
+    frames / deflated s16 audio windows behind a unit index); every unit is
+    decoded and the signal stats are computed over actual pixels/samples.
+    real_codecs=True is the seam where cluster codec libs (ffmpeg/soundfile
+    for H.264/AAC payloads) would slot in — unavailable in this sandbox, so
+    it raises."""
     if real_codecs:
         raise NotImplementedError(
-            "audio/video codecs unavailable in this environment; "
-            "plug ffmpeg/soundfile here on a real cluster"
+            "external AV codec libraries (ffmpeg/soundfile) unavailable in "
+            "this environment; the default path decodes LAV1 containers"
         )
+    from lagespark.image import av as avc
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
-                buf = np.frombuffer(r.payload, dtype=np.uint8)
-                # deterministic fake "decoded-signal" features
+                hdr, units = avc.decode_all(r.payload)
+                sig = np.concatenate([u.ravel().astype(np.float64) for u in units])
                 rows.append(
                     (
                         r.media_id,
                         r.media_type,
-                        len(buf),
-                        round(float(buf.mean()) if len(buf) else 0.0, 4),
-                        round(float(buf.std()) if len(buf) else 0.0, 4),
+                        len(r.payload),
+                        int(hdr["n_units"]),
+                        round(float(sig.mean()), 4),
+                        round(float(sig.std()), 4),
                         int(r.duration_ms),
                     )
                 )
@@ -395,6 +400,7 @@ def decode_av_features(av: DataFrame, real_codecs: bool = False) -> DataFrame:
                     "media_id",
                     "media_type",
                     "n_bytes",
+                    "n_units",
                     "sig_mean",
                     "sig_std",
                     "duration_ms",
@@ -403,8 +409,8 @@ def decode_av_features(av: DataFrame, real_codecs: bool = False) -> DataFrame:
 
     return av.mapInPandas(
         run,
-        "media_id string, media_type string, n_bytes long, sig_mean double, "
-        "sig_std double, duration_ms long",
+        "media_id string, media_type string, n_bytes long, n_units int, "
+        "sig_mean double, sig_std double, duration_ms long",
     )
 
 
@@ -417,52 +423,47 @@ def sample_av_frames(
     """Frame/window sampling over audio+video rows — the `frame-sample`
     multimodal op. Plan shape (the part that matters at 100 TB):
 
-      1. the sampling SCHEDULE is pure Catalyst — each media row explodes
-         to min(max_samples, floor(duration·fps)) sample timestamps with
-         native sequence/explode arithmetic; nothing decodes more than the
-         sampled instants
-      2. one mapInPandas pass extracts the sample at each (payload, ts) —
-         video rows yield a 16×16 RGB frame, audio rows a 256-sample s16
-         window
+      1. the sample COUNT — min(max_samples, floor(duration·fps)) — is pure
+         Catalyst arithmetic; the payload is NOT exploded per sample (that
+         would ship each binary max_samples× through Arrow), each media row
+         crosses into Python exactly once
+      2. one mapInPandas pass parses the LAV1 header, seeks the unit index
+         at each sampled timestamp, and decodes ONLY those units (the
+         `ffmpeg -ss` analogue) — video samples yield the decoded RGB
+         frame, audio samples the decoded s16 window; unsampled bytes of
+         the payload are never touched
 
-    STUB: no AV codec libraries exist in this container; real_codecs=True
-    raises at the marked seam (ffmpeg `-ss <ts>` / soundfile.seek would slot
-    in). The default path emits DETERMINISTIC fake samples (Philox keyed on
-    (media_id, sample_no)) so schema, schedule arithmetic, partitioning and
-    batch shape are real and tested."""
+    real_codecs=True is the seam for external containers/codecs (H.264 et
+    al.) — no such libraries exist in this sandbox, so it raises."""
     if real_codecs:
         raise NotImplementedError(
-            "audio/video codecs unavailable in this environment; "
-            "plug ffmpeg -ss / soundfile here on a real cluster"
+            "external AV codec libraries (ffmpeg) unavailable in this "
+            "environment; the default path decodes LAV1 containers"
         )
+    from lagespark.image import av as avc
+
     n_samp = F.least(
         F.lit(max_samples),
         F.greatest(F.lit(1), F.floor(F.col("duration_ms") * fps / 1000.0)),
     ).cast("int")
-    sched = av.withColumn(
-        "sample_no", F.explode(F.sequence(F.lit(0), n_samp - 1))
-    ).withColumn("ts_ms", (F.col("sample_no") * (1000.0 / fps)).cast("long"))
-
-    import zlib
+    sched = av.withColumn("n_samp", n_samp)
+    step_ms = 1000.0 / fps
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
-                key = zlib.crc32(r.media_id.encode())
-                g = np.random.Generator(
-                    np.random.Philox(key=key, counter=int(r.sample_no))
-                )
-                if r.media_type == "video":
-                    data = g.integers(0, 256, 16 * 16 * 3, dtype=np.uint8).tobytes()
-                    w = h = 16
-                else:
-                    data = g.integers(-32768, 32768, 256, dtype=np.int16).tobytes()
-                    w = h = 0
-                rows.append(
-                    (r.media_id, r.media_type, int(r.sample_no), int(r.ts_ms),
-                     data, w, h)
-                )
+                hdr = avc.read_header(r.payload)
+                for s in range(int(r.n_samp)):
+                    ts = int(s * step_ms)
+                    px = avc.decode_unit(r.payload, hdr, avc.unit_at(hdr, ts))
+                    if r.media_type == "video":
+                        w, h = int(hdr["w"]), int(hdr["h"])
+                    else:
+                        w = h = 0
+                    rows.append(
+                        (r.media_id, r.media_type, s, ts, px.tobytes(), w, h)
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "media_type", "sample_no", "ts_ms",
@@ -470,7 +471,7 @@ def sample_av_frames(
             )
 
     return sched.select(
-        "media_id", "media_type", "sample_no", "ts_ms", "payload"
+        "media_id", "media_type", "n_samp", "payload"
     ).mapInPandas(
         run,
         "media_id string, media_type string, sample_no int, ts_ms long, "
@@ -478,24 +479,37 @@ def sample_av_frames(
     )
 
 
+AV_FPS = 2.0  # container frame rate for generated video
+AV_RATE = 4000  # sample rate for generated audio
+AV_WINDOW = 256  # samples per audio unit
+
+
 def generate_av(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
-    """Deterministic fake audio/video table (opaque payload + metadata)."""
+    """Deterministic audio/video table: REAL LAV1 containers (qdct-encoded
+    16×16 video frames at AV_FPS / two-tone s16 audio at AV_RATE), built
+    per-index so the table is partitioning-independent."""
+    from lagespark.image import av as avc
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                r = np.random.Generator(np.random.Philox(key=7, counter=i))
-                nb = 256 + (i % 7) * 128
-                rows.append(
-                    (
-                        f"med{i:06d}",
-                        "audio" if i % 2 == 0 else "video",
-                        r.integers(0, 256, nb, dtype=np.uint8).tobytes(),
-                        1000 + (i % 60) * 500,
+                dur = 1000 + (i % 60) * 500
+                if i % 2 == 0:
+                    payload = avc.encode_audio(
+                        avc.procedural_audio(i, dur * AV_RATE // 1000, AV_RATE),
+                        AV_RATE,
+                        AV_WINDOW,
                     )
-                )
+                    mtype = "audio"
+                else:
+                    n_frames = max(1, int(dur * AV_FPS) // 1000)
+                    payload = avc.encode_video(
+                        avc.procedural_frames(i, n_frames), AV_FPS
+                    )
+                    mtype = "video"
+                rows.append((f"med{i:06d}", mtype, payload, dur))
             yield pd.DataFrame(
                 rows, columns=["media_id", "media_type", "payload", "duration_ms"]
             )

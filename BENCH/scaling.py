@@ -16,6 +16,20 @@ compute dominates, not Arrow crossings):
   image   — N image records/sec through payload generation(encode) →
             decode → PSNR/pHash invariant check → zone join → byte agg
 
+Two SHUFFLE-HEAVY jobs cover the operators whose 100 TB claim cannot rest
+on plan shape alone (VERDICT r3 next #5) — unlike the fused jobs these
+exercise the real exchange/checkpoint machinery:
+
+  overlay — N polygon features per side through the full distributed
+            overlay join (q68 shape: native bbox-cover explosion → cell
+            equi-join → PBSM dedup → rect fast path + clip kernel)
+  dedup   — N documents through production MinHash+LSH pair generation
+            (q72b shape: HOF signatures → band explosion → bucket
+            self-join → pair dedup)
+
+Both generate their input per-index (vectorized splitmix64) so the input
+is bit-identical at every parallelism level regardless of partition count.
+
 Default pair: N=2 cores vs 4N=8 cores. On this single shared-memory box the
 numpy/zlib kernels saturate DRAM bandwidth around 16 threads, so 8→32 shows
 the ceiling, not scheduler inefficiency — results at 16/32 are reported for
@@ -136,6 +150,150 @@ def run_image(spark, n: int, parts: int) -> None:
     assert n_bad == 0, f"{n_bad} rows violate the payload invariant"
 
 
+def _u01(ids: np.ndarray, c: int) -> np.ndarray:
+    """Vectorized deterministic uniform [0,1) per (id, channel) — splitmix64
+    finalizer, partitioning-independent (pure function of the row index)."""
+    with np.errstate(over="ignore"):
+        z = (ids.astype(np.uint64) * np.uint64(1315423911) + np.uint64(c)) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        z ^= z >> np.uint64(30)
+        z *= np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27)
+        z *= np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+    return z.astype(np.float64) / float(2**64)
+
+
+def _overlay_side(spark, n: int, parts: int, salt: int):
+    """n deterministic polygon features (~85% axis rects, 15% octagons) with
+    centers uniform in an L×L window where L grows as sqrt(n) — constant
+    feature density per 250 m cell, so pair volume scales ~linearly."""
+    L = max(2000.0, np.sqrt(n) * 180.0)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            cx = _u01(ids, salt * 10 + 1) * L
+            cy = _u01(ids, salt * 10 + 2) * L
+            w = 60.0 + _u01(ids, salt * 10 + 3) * 360.0
+            h = 60.0 + _u01(ids, salt * 10 + 4) * 360.0
+            is_rect = _u01(ids, salt * 10 + 5) < 0.85
+            rows = []
+            oct_c = np.cos(np.arange(8) * np.pi / 4)
+            oct_s = np.sin(np.arange(8) * np.pi / 4)
+            for k in range(len(ids)):
+                if is_rect[k]:
+                    x0, y0 = cx[k] - w[k] / 2, cy[k] - h[k] / 2
+                    x1, y1 = cx[k] + w[k] / 2, cy[k] + h[k] / 2
+                    ring = [
+                        {"x": x0, "y": y0},
+                        {"x": x1, "y": y0},
+                        {"x": x1, "y": y1},
+                        {"x": x0, "y": y1},
+                    ]
+                else:
+                    r = w[k] / 2
+                    ring = [
+                        {"x": cx[k] + r * oct_c[j], "y": cy[k] + r * oct_s[j]}
+                        for j in range(8)
+                    ]
+                    x0, y0, x1, y1 = cx[k] - r, cy[k] - r, cx[k] + r, cy[k] + r
+                rows.append(
+                    (f"s{salt}f{int(ids[k])}", [ring], x0, y0, x1, y1)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["feature_id", "rings", "xmin", "ymin", "xmax", "ymax"],
+            )
+
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen,
+        "feature_id string, rings array<array<struct<x:double,y:double>>>, "
+        "xmin double, ymin double, xmax double, ymax double",
+    )
+
+
+def run_overlay(spark, n: int, parts: int) -> None:
+    """q68-shaped distributed overlay join: n features per side, full
+    exchange machinery (cover explosion, cell shuffle, PBSM dedup, rect
+    fast path + flat-ring clip kernel), reduced to (pairs, Σ area)."""
+    from lagespark.operators import spatial
+
+    a = _overlay_side(spark, n, parts, 1)
+    b = _overlay_side(spark, n, parts, 2)
+    out = spatial.overlay_join(a, b, cell_size=250.0, round_to=2)
+    res = out.agg(
+        F.count(F.lit(1)).alias("pairs"), F.sum("area").alias("area")
+    ).collect()
+    assert res[0]["pairs"] > 0
+
+
+_VOCAB = 4000
+_DOC_WORDS = 40
+
+
+_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+)
+
+
+def _vocab_words() -> list[str]:
+    """Deterministic 6-char vocabulary over a 62-char alphabet. The MinHash
+    shingles are CHARACTER 3-grams, so synthetic words must span a wide
+    trigram universe — a `w123`-style vocab shares most trigrams across all
+    docs and the LSH (correctly) reports nearly every pair as similar,
+    which is quadratic; even a 26-letter alphabet leaves enough incidental
+    trigram overlap that random-pair Jaccard ≈ 0.008 and the candidate set
+    grows ~n². 62³ ≈ 238k trigrams pushes random-pair Jaccard down ~10×,
+    so pair volume tracks the INJECTED duplicates (linear in n)."""
+    ids = np.arange(_VOCAB, dtype=np.int64)
+    arr = np.stack(
+        [(_u01(ids, 900 + c) * len(_ALPHABET)).astype(np.int64) for c in range(6)],
+        axis=1,
+    )
+    return ["".join(_ALPHABET[c] for c in row) for row in arr]
+
+
+def _docs(spark, n: int, parts: int):
+    """n deterministic documents (~40 words over a 4000-word vocab); every
+    10th doc near-duplicates its predecessor (2 words changed) so the LSH
+    banding has real positives to surface."""
+    voc = _vocab_words()
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            base = np.where(ids % 10 == 9, ids - 1, ids)
+            cols = [
+                (_u01(base * np.int64(_DOC_WORDS) + j, 77) * _VOCAB).astype(np.int64)
+                for j in range(_DOC_WORDS)
+            ]
+            # near-dup rows differ from their base in the last 2 words
+            edit = ids % 10 == 9
+            for j in (_DOC_WORDS - 2, _DOC_WORDS - 1):
+                cols[j] = np.where(
+                    edit,
+                    (_u01(ids * np.int64(_DOC_WORDS) + j, 78) * _VOCAB).astype(np.int64),
+                    cols[j],
+                )
+            words = np.stack(cols, axis=1)
+            texts = [" ".join(voc[w] for w in row) for row in words]
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, "doc_id long, text string")
+
+
+def run_dedup(spark, n: int, parts: int) -> None:
+    """q72b-shaped production MinHash+LSH pair generation over n documents,
+    reduced to a pair count (materializes the banded bucket self-join)."""
+    from lagespark.operators import dedup
+
+    pairs = dedup.minhash_pairs_fast(_docs(spark, n, parts), perms=8, band_rows=2, n=3)
+    res = pairs.agg(F.count(F.lit(1)).alias("pairs")).collect()
+    assert res[0]["pairs"] > 0
+
+
 def _cal_worker(args):
     """Pure-numpy slice of the spatial kernel (no Spark, no IPC): measures
     raw per-core compute throughput while P sibling processes keep P cores
@@ -199,44 +357,54 @@ def timed(fn, runs: int) -> list[float]:
     ]
 
 
-def bench_at(cores: int, n_spatial: int, n_image: int, runs: int) -> dict:
+JOBS = {
+    "spatial": run_spatial,
+    "image": run_image,
+    "overlay": run_overlay,
+    "dedup": run_dedup,
+}
+
+
+def bench_at(cores: int, sizes: dict[str, int], runs: int) -> dict:
     from lagespark.session import get_spark
 
     spark = get_spark(f"local[{cores}]", app_name=f"lagespark-scale-{cores}")
     spark.sparkContext.setLogLevel("ERROR")
     parts = max(cores * 4, 8)
-    # warm-up at FULL size (excluded): JVM JIT + Python worker imports +
-    # allocator growth all land here instead of the first timed run
-    run_spatial(spark, n_spatial, parts)
-    run_image(spark, n_image, parts)
-
-    t_sp = timed(lambda: run_spatial(spark, n_spatial, parts), runs)
-    t_im = timed(lambda: run_image(spark, n_image, parts), runs)
+    out = {"cores": cores}
+    for job, n in sizes.items():
+        fn = JOBS[job]
+        # warm-up at FULL size (excluded): JVM JIT + Python worker imports +
+        # allocator growth all land here instead of the first timed run
+        fn(spark, n, parts)
+        t = timed(lambda: fn(spark, n, parts), runs)
+        out[f"{job}_sec_runs"] = [round(v, 2) for v in t]
+        out[f"{job}_sec"] = round(statistics.median(t), 3)
+        out[f"{job}_rows_per_sec"] = round(n / statistics.median(t))
     spark.stop()
-    return {
-        "cores": cores,
-        "spatial_sec_runs": [round(t, 2) for t in t_sp],
-        "spatial_sec": round(statistics.median(t_sp), 3),
-        "spatial_rows_per_sec": round(n_spatial / statistics.median(t_sp)),
-        "image_sec_runs": [round(t, 2) for t in t_im],
-        "image_sec": round(statistics.median(t_im), 3),
-        "image_rows_per_sec": round(n_image / statistics.median(t_im)),
-    }
+    return out
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-spatial", type=int, default=16_000_000)
     ap.add_argument("--n-image", type=int, default=40_000)
+    ap.add_argument("--n-overlay", type=int, default=60_000)
+    ap.add_argument("--n-dedup", type=int, default=60_000)
     ap.add_argument("--sizes", default="2,8")
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--jobs", default="spatial,image,overlay,dedup")
     ap.add_argument("--no-calibrate", action="store_true")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
+    job_sizes = {
+        j: getattr(args, f"n_{j}") for j in args.jobs.split(",") if j in JOBS
+    }
 
-    results = {"n_spatial": args.n_spatial, "n_image": args.n_image, "levels": []}
+    results = {f"n_{j}": n for j, n in job_sizes.items()}
+    results["levels"] = []
     for c in sizes:
-        r = bench_at(c, args.n_spatial, args.n_image, args.runs)
+        r = bench_at(c, job_sizes, args.runs)
         if not args.no_calibrate:
             # hardware per-core speed at the same occupancy (pure numpy,
             # no Spark) — run right after the level so thermal state matches
@@ -247,7 +415,7 @@ def main():
     pairs = [(a, b) for a in lv for b in lv if b == 4 * a]
     for a, b in pairs:
         ratio = b / a
-        for job in ("spatial", "image"):
+        for job in job_sizes:
             raw = (lv[b][f"{job}_rows_per_sec"] / lv[a][f"{job}_rows_per_sec"]) / ratio
             results[f"{job}_scaling_efficiency_{a}to{b}"] = round(raw, 3)
             if "cal_rows_per_core_sec" in lv[a]:

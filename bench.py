@@ -39,6 +39,7 @@ HEADLINE = [
     "q69-geo-knn-points",  # data-scale kNN join (adaptive cell, annulus rings)
     "q68-geo-overlay-join",  # distributed polygon overlay (both sides data-scale)
     "q60-img-roundtrip",  # image payload decode + invariant
+    "q64b-multimodal-frames",  # LAV1 container frame sampling (index-seek decode)
     "q72b-dedup-minhash-fast",  # PRODUCTION MinHash+LSH (xxhash64 int64 sigs)
     "q72-dedup-minhash-lsh",  # oracle-portable MinHash+LSH (heaviest last:
                               # its md5/GC load otherwise inflates followers)

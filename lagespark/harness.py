@@ -1216,13 +1216,30 @@ def q86(spark, sf):
     )
 
 
-@q("q57-geo-s2cell")  # trig-based cell encode — no SQL mirror → rows-only
+@q(
+    "q57-geo-s2cell",
+    # round-4: the trig encode DOES have a SQL mirror — the same step chain
+    # (exact double-op order) in DuckDB dialect; see cells.s2_cell_sql_steps
+    "SELECT cell_s2, COUNT(*) AS n FROM ("
+    + _cells.s2_nested_select_sql(
+        "SELECT x / 111320.0 + 13.0 AS lon, y / 111320.0 + 52.0 AS lat "
+        f"FROM ({oracles.POINTS_SELECT})",
+        "lat",
+        "lon",
+        15,
+        "duckdb",
+    )
+    + ") GROUP BY cell_s2",
+)
 def q57(spark, sf):
+    """S2 cell encode + aggregate — PURE-CATALYST (whole-stage codegen, no
+    Python worker): round 4 replaced the pandas-UDF encode with the native
+    step chain, which doubles as the DuckDB oracle."""
     pts = points_df(spark, sf)
     lonlat = pts.select(
         "pid",
         (F.col("x") / fixtures.M_PER_DEG + fixtures.LON0).alias("lon"),
         (F.col("y") / fixtures.M_PER_DEG + fixtures.LAT0).alias("lat"),
     )
-    c = spatial.with_s2_cell(lonlat, "lat", "lon", level=15)
+    c = spatial.with_s2_cell_native(lonlat, "lat", "lon", level=15)
     return c.groupBy("cell_s2").agg(F.count(F.lit(1)).alias("n"))

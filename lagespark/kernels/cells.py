@@ -320,3 +320,94 @@ def s2_disk_cells(cell: np.ndarray, k: int) -> np.ndarray:
         j[:, None] + dj,
         level,
     )
+
+
+def s2_cell_sql_steps(
+    lat_expr: str, lon_expr: str, level: int = 15, dialect: str = "spark"
+) -> list[tuple[str, str]]:
+    """Stepwise SQL mirror of s2_encode for BOTH dialects — the native
+    (no-Python) encode path and its DuckDB oracle.
+
+    Every floating-point operation replays the numpy kernel's op order
+    exactly (multiply by the same radian literal, same division order, same
+    quadratic-projection expression), so +,-,*,/ and SQRT — all IEEE
+    correctly-rounded — produce bit-identical doubles across numpy, the
+    JVM, and DuckDB. The only cross-engine wiggle is COS/SIN (±1 ulp by
+    libm); a flip requires the projected st value to sit within ~1e-16 of a
+    1/2^level lattice line (~1e-11 per point at level 15).
+
+    Returns [(column_name, sql_expr), ...]; the last entry is the cell id.
+    Integer work (face/level header, bit interleave) is exact in both
+    dialects: Spark uses shiftleft/shiftright functions, DuckDB the <</>>
+    operators; & and | are common.
+    """
+    assert 0 < level <= MAX_LEVEL
+    if dialect == "spark":
+        shl = lambda a, b: f"shiftleft({a}, {b})"  # noqa: E731
+        shr = lambda a, b: f"shiftright({a}, {b})"  # noqa: E731
+    else:
+        shl = lambda a, b: f"(({a}) << {b})"  # noqa: E731
+        shr = lambda a, b: f"(({a}) >> {b})"  # noqa: E731
+    rad = "CAST(0.017453292519943295 AS DOUBLE)"  # the numpy pi/180 double
+    n = 1 << level
+    st = (
+        "CASE WHEN {u} >= 0 THEN 0.5 * SQRT(1 + 3 * {u}) "
+        "ELSE 1 - 0.5 * SQRT(ABS(1 - 3 * {u})) END"
+    )
+    ij = f"LEAST({n - 1}, GREATEST(0, CAST(FLOOR({{s}} * {n}) AS BIGINT)))"
+    steps = [
+        ("_s2phi", f"({lat_expr}) * {rad}"),
+        ("_s2lam", f"({lon_expr}) * {rad}"),
+        ("_s2x", "COS(_s2phi) * COS(_s2lam)"),
+        ("_s2y", "COS(_s2phi) * SIN(_s2lam)"),
+        ("_s2z", "SIN(_s2phi)"),
+        (
+            "_s2face",
+            "CAST(CASE WHEN ABS(_s2x) >= ABS(_s2y) AND ABS(_s2x) >= ABS(_s2z) "
+            "THEN CASE WHEN _s2x >= 0 THEN 0 ELSE 3 END "
+            "WHEN ABS(_s2y) >= ABS(_s2z) THEN CASE WHEN _s2y >= 0 THEN 1 ELSE 4 END "
+            "ELSE CASE WHEN _s2z >= 0 THEN 2 ELSE 5 END END AS BIGINT)",
+        ),
+        (
+            "_s2u",
+            "CASE _s2face WHEN 0 THEN _s2y / _s2x WHEN 1 THEN (-_s2x) / _s2y "
+            "WHEN 2 THEN (-_s2x) / _s2z WHEN 3 THEN (-_s2z) / _s2x "
+            "WHEN 4 THEN (-_s2z) / _s2y ELSE _s2y / _s2z END",
+        ),
+        (
+            "_s2v",
+            "CASE _s2face WHEN 0 THEN _s2z / _s2x WHEN 1 THEN _s2z / _s2y "
+            "WHEN 2 THEN (-_s2y) / _s2z WHEN 3 THEN (-_s2y) / _s2x "
+            "WHEN 4 THEN _s2x / _s2y ELSE _s2x / _s2z END",
+        ),
+        ("_s2s", st.format(u="_s2u")),
+        ("_s2t", st.format(u="_s2v")),
+        ("_s2i", ij.format(s="_s2s")),
+        ("_s2j", ij.format(s="_s2t")),
+    ]
+    morton = " | ".join(
+        [shl(f"({shr('_s2i', b)} & 1)", 2 * b + 1) for b in range(level)]
+        + [shl(f"({shr('_s2j', b)} & 1)", 2 * b) for b in range(level)]
+    )
+    steps.append(
+        (
+            "cell_s2",
+            f"{shl('_s2face', _FACE_SHIFT)} | "
+            f"{shl(f'CAST({level} AS BIGINT)', _LEVEL_SHIFT)} | ({morton})",
+        )
+    )
+    return steps
+
+
+def s2_nested_select_sql(
+    inner_select: str, lat_expr: str, lon_expr: str, level: int = 15,
+    dialect: str = "duckdb",
+) -> str:
+    """Wrap `inner_select` in one nested SELECT per s2_cell_sql_steps step,
+    ending with a relation that carries every inner column plus `cell_s2`.
+    (Textual folding into one scalar expression blows up exponentially —
+    the step chain shares subexpressions by name instead.)"""
+    q = f"SELECT * FROM ({inner_select})"
+    for name, expr in s2_cell_sql_steps(lat_expr, lon_expr, level, dialect):
+        q = f"SELECT *, {expr} AS {name} FROM ({q})"
+    return q

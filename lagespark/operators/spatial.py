@@ -87,6 +87,22 @@ def with_s2_cell(
     return df.withColumn(out, enc(F.col(lat), F.col(lon)))
 
 
+def with_s2_cell_native(
+    df: DataFrame, lat: str = "lat", lon: str = "lon", level: int = 15, out: str = "cell_s2"
+) -> DataFrame:
+    """PURE-CATALYST S2 encode — no Python worker on the hot path: the
+    whole face-projection + quadratic-st + bit-interleave chain runs inside
+    whole-stage codegen (cells.s2_cell_sql_steps replays the numpy kernel's
+    exact double-op order; parity vs s2_encode is test-pinned, and the same
+    step chain is the DuckDB oracle). Prefer this in scans; the pandas-UDF
+    variant remains for parity testing."""
+    steps = cells.s2_cell_sql_steps(lat, lon, level, "spark")
+    tmp = [name for name, _ in steps if name != "cell_s2"]
+    for name, expr in steps:
+        df = df.withColumn(name if name != "cell_s2" else out, F.expr(expr))
+    return df.drop(*tmp)
+
+
 # ---------------------------------------------------------------------------
 # polygon cell cover (geo-cover)
 # ---------------------------------------------------------------------------
@@ -263,7 +279,9 @@ def pip_join_s2(
     level-15 cell from (lat, lon) via the vectorized encoder; polygon covers
     come from the same index; exact ray-cast filter in planar meters."""
     spark = points.sparkSession
-    pts = with_s2_cell(points, lat, lon, level)
+    # native encode (round 4): the point-side cell id stays inside
+    # whole-stage codegen — no Python crossing before the exact filter
+    pts = with_s2_cell_native(points, lat, lon, level)
     cover = F.broadcast(s2_feature_cover_df(spark, feats, level))
     cand = pts.join(cover, "cell_s2")
 

@@ -173,3 +173,56 @@ def test_knn_join_points_duplicate_qids(spark):
         order = _np.lexsort((tid, d))[:3]
         for r, j in enumerate(order):
             assert got[(qid, r + 1)] == int(tid[j])
+
+
+# ---------------------------------------------------------------------------
+# native (pure-Catalyst) S2 encode — round-4 q57 oracle path
+# ---------------------------------------------------------------------------
+
+
+def test_s2_native_matches_numpy_kernel(spark):
+    """with_s2_cell_native must reproduce cells.s2_encode bit-for-bit on
+    the harness domain AND a global fuzz across all 6 cube faces (the SQL
+    step chain replays the numpy kernel's exact double-op order)."""
+    import numpy as np
+    import pandas as pd
+
+    from lagespark.kernels import cells
+
+    rng = np.random.default_rng(3)
+    lat = np.concatenate(
+        [52.0 + rng.uniform(0, 0.09, 4000), rng.uniform(-89.9, 89.9, 4000)]
+    )
+    lon = np.concatenate(
+        [13.0 + rng.uniform(0, 0.09, 4000), rng.uniform(-179.9, 179.9, 4000)]
+    )
+    want = cells.s2_encode(lat, lon, 15)
+    pdf = pd.DataFrame({"k": np.arange(len(lat)), "lat": lat, "lon": lon})
+    df = spark.createDataFrame(pdf)
+    got = (
+        spatial.with_s2_cell_native(df, "lat", "lon", 15)
+        .orderBy("k")
+        .select("cell_s2")
+        .toPandas()["cell_s2"]
+        .to_numpy()
+    )
+    assert (got == want).all()
+
+
+def test_s2_native_plan_has_no_python_udf(spark):
+    """The native encode stays inside whole-stage codegen: no
+    ArrowEvalPython / BatchEvalPython node may appear in the plan."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = spark.range(0, 100).selectExpr(
+        "cast(id as double) / 100 + 52.0 as lat",
+        "cast(id as double) / 100 + 13.0 as lon",
+    )
+    out = spatial.with_s2_cell_native(df, "lat", "lon", 15)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "EvalPython" not in plan  # no ArrowEvalPython/BatchEvalPython
+    assert "codegen id" in plan  # formatted mode marks codegen stages this way

@@ -69,6 +69,10 @@ def main() -> None:
     # first pandas-UDF query)
     queries["q50-geo-cell"](spark, sf_dir).count()
     queries["q52-geo-zone"](spark, sf_dir).count()
+    # NOTE: heavy plans (q68/q69/q72b) pay 2-10 s of first-execution codegen
+    # compile inside their timed run; warm re-runs measure 5.6-6.7 s for
+    # q68 vs ~8.5 cold (see BENCH/BASELINE.md). The protocol deliberately
+    # stays cold-per-query for round-over-round comparability.
 
     n_points = harness.points_df(spark, sf_dir).count()
 

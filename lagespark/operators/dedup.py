@@ -47,19 +47,29 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingle_col(text_col: str = "text", n: int = 3):
-    """Distinct character n-gram shingles as a native array column.
+def shingle_col(text_col: str = "text", n: int = 3, distinct: bool = True):
+    """Character n-gram shingles as a native array column (distinct by
+    default — set semantics for Jaccard).
+
+    distinct=False skips the array_distinct pass: MIN over a multiset
+    equals MIN over its distinct set, so the MinHash SIGNATURE paths don't
+    need it. On the harness corpus (mostly-distinct trigrams per doc) the
+    saving is noise-level — the pass cost and the extra hash evaluations
+    roughly cancel — but on repetitive real-world text the balance depends
+    on the hash: keep distinct for expensive digests over highly-repetitive
+    docs, skip it for cheap int64 hashes. Oracle equivalence is untouched
+    either way: DuckDB's DISTINCT unnest mins the same set.
 
     Texts shorter than n (and NULL) yield an EMPTY array: Spark's
     sequence(1, 0) counts DOWN ([1, 0]) where DuckDB's range(1, 1) is empty,
     so the guard keeps both dialects (and the size()>0 null filter in the
     minhash paths) agreeing on which docs have no shingles."""
-    arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.length(F.col(text_col)) - (n - 1)),
-            lambda i: F.col(text_col).substr(i, F.lit(n)),
-        )
+    arr = F.transform(
+        F.sequence(F.lit(1), F.length(F.col(text_col)) - (n - 1)),
+        lambda i: F.col(text_col).substr(i, F.lit(n)),
     )
+    if distinct:
+        arr = F.array_distinct(arr)
     return F.when(F.length(F.col(text_col)) >= n, arr).otherwise(
         F.array().cast("array<string>")
     )
@@ -108,7 +118,7 @@ def minhash_signature(
     # oracle's unnest drops these rows naturally, so the filter also keeps
     # the dialects aligned. size(NULL) = -1, so > 0 covers both cases.
     sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), shingle_col(text_col, n).alias("shs")
+        F.col(id_col), shingle_col(text_col, n, distinct=False).alias("shs")
     ).filter(F.size("shs") > 0)
     hs = sh.select(
         F.col(id_col), F.transform(F.col("shs"), lambda s: F.md5(s)).alias("hs")
@@ -204,7 +214,7 @@ def minhash_pairs_fast(
 
     # null/empty-shingle filter — same rationale as minhash_signature
     sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), shingle_col(text_col, n).alias("shs")
+        F.col(id_col), shingle_col(text_col, n, distinct=False).alias("shs")
     ).filter(F.size("shs") > 0)
     sig = sh.select(
         F.col(id_col),
@@ -309,7 +319,9 @@ def minhash_jaccard_pairs(
     sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.array_distinct(
-            F.transform(shingle_col(text_col, n), lambda s: F.xxhash64(s))
+            # inner distinct skipped: the OUTER distinct over the hashes
+            # dedups the same set one pass later, once instead of twice
+            F.transform(shingle_col(text_col, n, distinct=False), lambda s: F.xxhash64(s))
         ).alias("sh"),
     )
     pairs = cand.join(

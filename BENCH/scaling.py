@@ -151,18 +151,13 @@ def run_image(spark, n: int, parts: int) -> None:
 
 
 def _u01(ids: np.ndarray, c: int) -> np.ndarray:
-    """Vectorized deterministic uniform [0,1) per (id, channel) — splitmix64
-    finalizer, partitioning-independent (pure function of the row index)."""
-    with np.errstate(over="ignore"):
-        z = (ids.astype(np.uint64) * np.uint64(1315423911) + np.uint64(c)) * np.uint64(
-            0x9E3779B97F4A7C15
-        )
-        z ^= z >> np.uint64(30)
-        z *= np.uint64(0xBF58476D1CE4E5B9)
-        z ^= z >> np.uint64(27)
-        z *= np.uint64(0x94D049BB133111EB)
-        z ^= z >> np.uint64(31)
-    return z.astype(np.float64) / float(2**64)
+    """Vectorized deterministic uniform [0,1) per (id, channel) — delegates
+    to the repo's counter-based splitmix64 primitive (fixtures._hash_uniform)
+    so the bit-mixing code lives in exactly one place. Pure function of the
+    row index → partitioning-independent."""
+    from lagespark import fixtures
+
+    return fixtures._hash_uniform(np.asarray(ids, dtype=np.int64), stream=c, seed=0)
 
 
 def _overlay_side(spark, n: int, parts: int, salt: int):
@@ -397,9 +392,13 @@ def main():
     ap.add_argument("--no-calibrate", action="store_true")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
-    job_sizes = {
-        j: getattr(args, f"n_{j}") for j in args.jobs.split(",") if j in JOBS
-    }
+    jobs = args.jobs.split(",")
+    unknown = [j for j in jobs if j not in JOBS]
+    if unknown:
+        # fail FAST: a typo would otherwise silently drop the job and the
+        # missing evidence surfaces only after a long idle-box run
+        ap.error(f"unknown --jobs {unknown}; valid: {sorted(JOBS)}")
+    job_sizes = {j: getattr(args, f"n_{j}") for j in jobs}
 
     results = {f"n_{j}": n for j, n in job_sizes.items()}
     results["levels"] = []

@@ -67,7 +67,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # stale — fresh all-true rows). Union across rounds then driver-touches all
 # 101 registered queries. ONE deliberate edit per round; otherwise FROZEN.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- 20 rows-only queries with NO driver row in any round --
+    # -- 20 queries with NO driver row in any round (rows-only at rotation
+    #    time; q57 gained a SQL oracle later in round 4, so its driver row
+    #    will be a full hash compare) --
     "q57-geo-s2cell",
     "q72b-dedup-minhash-fast",
     "q71b-dedup-lsh-jaccard",
@@ -91,7 +93,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- 2 rows-only queries last driver-run in r01 --
     "q22-agg-approx",
     "q28-percentile-approx",
-    # -- 29 oracled queries last driver-checked in r02 (stale refresh) --
+    # -- 29 oracled queries last driver-checked in r02 (stale refresh;
+    #    51 entries total vs a ~50-slot budget, so the LAST entry may fall
+    #    outside the window — q67-geo-knn3 is placed there deliberately:
+    #    it shares knn_join's code path with q54, which sits inside) --
     "q27-collect",
     "q29-pivot",
     "q30-rank",

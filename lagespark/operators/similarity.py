@@ -250,25 +250,29 @@ def _train_sample_pdf(
     seed: int,
     oversample: float = 4.0,
 ) -> pd.DataFrame:
-    """Seeded pseudo-random training sample of `train_rows` vectors.
+    """Seeded pseudo-random training sample of `train_rows` vectors,
+    independent of partition layout.
 
-    Two-stage at scale: a `Sample` node prunes the scan to ~oversample×
-    train_rows rows BEFORE the ranking (at 10^12 rows a full-table
-    orderBy(xxhash64).limit would scan+rank everything just to draw 4k
-    rows), then a deterministic top-k by xxhash64(id, seed) inside the
-    sample fixes the draw. limit() alone is wrong (takes the first
-    partitions — on sorted/clustered tables the centroids would miss whole
-    regions); sample() alone is wrong (row count varies). Small tables
-    (n <= train_rows) skip the sample stage entirely, so the draw is the
-    whole table and exactly reproducible regardless of layout."""
+    Two-stage at scale: a deterministic hash FILTER — keep rows where
+    pmod(xxhash64(id, seed), K) = 0 with K sized so ~oversample×train_rows
+    survive — prunes the rank input before the top-k (at 10^12 rows a
+    full-table orderBy(xxhash64).limit would rank everything just to draw
+    4k rows; the filter is a cheap scan-side predicate), then the
+    deterministic top-k by the same hash fixes the draw inside the
+    filtered set. Why not df.sample(): Spark's sampler seeds PER PARTITION,
+    so the drawn rows (hence centroids, hence every ANN result) would
+    change with partition count/layout; the hash filter is a pure function
+    of the row. limit() alone is wrong too (takes the first partitions —
+    on clustered tables the centroids would miss whole regions). Small
+    tables (n <= oversample·train_rows) skip the filter stage entirely."""
     n = targets.count()
     base = targets.select(F.col(id_col), F.col(vec_col))
-    if n > train_rows:
-        frac = min(1.0, oversample * train_rows / n)
-        if frac < 1.0:
-            base = base.sample(fraction=frac, seed=seed)
+    h = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
+    k_mod = int(n // (oversample * train_rows))
+    if k_mod > 1:
+        base = base.filter(F.pmod(h, F.lit(k_mod)) == 0)
     pdf = (
-        base.orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        base.orderBy(h)
         .limit(train_rows)
         .select(vec_col)
         .toPandas()

@@ -133,6 +133,15 @@ def feature_cover_pdf(
     dropped (clip test) — smaller broadcast, same correctness."""
     out_f: list[str] = []
     out_c: list[int] = []
+    # CONTAINMENT-CONSERVATIVE contract: for every point p with an inclusive
+    # containment test (point_in_ring uses >=), cell(p) = floor(p/cs) must
+    # be in the cover. A point exactly ON a grid-aligned high edge
+    # (x == xmax == i*cs) floors into the NEXT cell over, whose overlap
+    # with the polygon has zero area — so zero-width boundary cells must be
+    # KEPT, not trimmed (a round-4 "minimal cover" trim dropped them and
+    # was reverted; the clip test below expands the cell by eps for the
+    # same reason).
+    clip_eps = 1e-9 * cell_size
     for fid in feats.ids:
         xmin, ymin, xmax, ymax = feats.bbox[fid]
         cand = cells.grid_cover_bbox(xmin, ymin, xmax, ymax, cell_size, pad=pad)
@@ -140,27 +149,25 @@ def feature_cover_pdf(
             outer = feats.rings[fid][0]
             if _np_axis_rect(feats.rings[fid], xmin, ymin, xmax, ymax):
                 # an axis rect IS its bbox: the bbox cover is already exact
-                # (skips len(cand) Sutherland–Hodgman clips per feature —
-                # the dominant driver-side cost for large rect sets) — except
-                # when the rect's high edge sits exactly ON a grid line: the
-                # bbox cover then includes the next cell over with zero-width
-                # overlap, which the clip path (clip_area > 0) would drop.
-                # Trim those so exact=True covers stay minimal.
-                ci, cj = cells.grid_decode(cand)
-                zero_w = (ci * cell_size == xmax) | (cj * cell_size == ymax)
-                if zero_w.any():
-                    cand = cand[~zero_w]
+                # AND boundary-inclusive (grid_cover_bbox floors xmax, which
+                # is precisely the cell a high-edge point floors into) —
+                # skips len(cand) Sutherland–Hodgman clips per feature, the
+                # dominant driver-side cost for large rect sets
+                pass
             else:
                 keep = []
                 for c in cand:
                     i, j = cells.grid_decode(np.array([c]))
                     x0, y0 = float(i[0]) * cell_size, float(j[0]) * cell_size
+                    # eps-expanded cell: keeps cells the polygon only
+                    # TOUCHES (zero-area overlap along a shared grid line),
+                    # where an inclusive-boundary point can still land
                     rect = np.array(
                         [
-                            [x0, y0],
-                            [x0 + cell_size, y0],
-                            [x0 + cell_size, y0 + cell_size],
-                            [x0, y0 + cell_size],
+                            [x0 - clip_eps, y0 - clip_eps],
+                            [x0 + cell_size + clip_eps, y0 - clip_eps],
+                            [x0 + cell_size + clip_eps, y0 + cell_size + clip_eps],
+                            [x0 - clip_eps, y0 + cell_size + clip_eps],
                         ]
                     )
                     if geom.clip_area(outer, rect) > 0.0:
@@ -514,7 +521,9 @@ def knn_join_points(
     # ONE query row per id: duplicate qids (synthesized keys are not unique
     # — CLAUDE.md) would duplicate every candidate inside the per-qid window
     # and corrupt ranks (rank 2 becomes a repeat of rank 1, pushing the true
-    # k-th neighbor out). Deterministic pick: min (qx, qy) struct. The agg is
+    # k-th neighbor out). Deterministic pick: INDEPENDENT per-column MINs —
+    # the repo-wide dedup convention (oracles.POINTS_SELECT, points_df), so
+    # an oracle deduping the same way sees the same coordinates. The agg is
     # map-side combinable and skinny (3 cols), so the extra shuffle is cheap
     # relative to the ring-join rounds it protects.
     q0 = (
@@ -522,8 +531,7 @@ def knn_join_points(
             F.col(id_col).alias("qid"), F.col(x).alias("qx"), F.col(y).alias("qy")
         )
         .groupBy("qid")
-        .agg(F.min(F.struct(F.col("qx"), F.col("qy"))).alias("_q"))
-        .select("qid", F.col("_q.qx").alias("qx"), F.col("_q.qy").alias("qy"))
+        .agg(F.min("qx").alias("qx"), F.min("qy").alias("qy"))
     )
     pending = with_grid_cell(q0, "qx", "qy", cell_size).select(
         "qid", "qx", "qy", F.col("cell").alias("qcell")

@@ -76,19 +76,24 @@ def test_pq_topk_empty_targets_raises(spark):
         similarity.pq_topk(queries, empty, k=2, m_sub=4, ks=8)
 
 
-def test_train_sample_prunes_scan_and_is_deterministic(spark):
-    """n >> train_rows → the training draw goes through a Sample node
-    (scan pruning, VERDICT r3 next #6), still returns exactly train_rows
-    rows and the same rows on every call."""
-    df = _vec_df(spark, 600, 8, seed=7)
+def test_train_sample_prunes_scan_and_is_layout_independent(spark):
+    """n >> train_rows → the training draw prunes via a deterministic hash
+    filter BEFORE the rank (VERDICT r3 next #6) and returns the SAME rows
+    regardless of partition layout (df.sample seeds per partition and was
+    rejected for exactly that reason)."""
+    df = _vec_df(spark, 1200, 8, seed=7)
     a = similarity._train_sample_pdf(df, "vec_id", "embedding", 50, seed=42)
-    b = similarity._train_sample_pdf(df, "vec_id", "embedding", 50, seed=42)
+    b = similarity._train_sample_pdf(
+        df.repartition(17), "vec_id", "embedding", 50, seed=42
+    )
     assert len(a) == 50
     assert [list(v) for v in a["embedding"]] == [list(v) for v in b["embedding"]]
-    # the pruning stage exists in the plan for oversized tables
-    frac = 4.0 * 50 / 600
-    sampled = df.select("vec_id", "embedding").sample(fraction=frac, seed=42)
-    assert "Sample" in sampled._jdf.queryExecution().executedPlan().toString()
+    # the pruning predicate reaches the plan for oversized tables
+    base = df.select("vec_id", "embedding")
+    h = F.xxhash64(F.col("vec_id").cast("string"), F.lit(42))
+    k = int(1200 // (4.0 * 50))
+    plan = base.filter(F.pmod(h, F.lit(k)) == 0)._jdf.queryExecution().executedPlan().toString()
+    assert "pmod" in plan and "xxhash64" in plan
 
 
 def test_train_sample_empty_raises(spark):
@@ -123,16 +128,39 @@ def _rect_featureset(xmin, ymin, xmax, ymax):
     return spatial.FeatureSet(pdf)
 
 
-def test_rect_cover_trims_boundary_aligned_cells():
-    """ADVICE r3 #3: a grid-aligned rect's exact cover must not include the
-    zero-width cells past its high edges (the clip-test path drops them)."""
-    feats = _rect_featureset(0.0, 0.0, 20.0, 10.0)
-    cov = spatial.feature_cover_pdf(feats, cell_size=10.0, exact=True)
+def test_cover_keeps_boundary_cells_for_inclusive_pip():
+    """Covers are CONTAINMENT-conservative, not area-minimal: a point lying
+    exactly on a grid-aligned high edge (x == xmax == i*cs) floors into the
+    NEXT cell over, so that zero-area-overlap cell must stay in the cover —
+    for the rect fast path AND the general clip path (ADVICE r3 #3 proposed
+    trimming them; the trim was reverted after review because it silently
+    drops boundary points from pip joins)."""
     from lagespark.kernels import cells
 
+    # rect path: grid-aligned rect
+    feats = _rect_featureset(0.0, 0.0, 20.0, 10.0)
+    cov = spatial.feature_cover_pdf(feats, cell_size=10.0, exact=True)
     ci, cj = cells.grid_decode(cov["cell"].to_numpy())
     got = set(zip(ci.tolist(), cj.tolist()))
-    assert got == {(0, 0), (1, 0)}  # NOT i=2 (x==20) or j=1 (y==10)
+    # the boundary point (20.0, 10.0) is INSIDE the closed rect and floors
+    # into cell (2, 1) — every cell a contained point can floor into is kept
+    bx, by = np.float64(20.0), np.float64(10.0)
+    assert (int(bx // 10), int(by // 10)) in got
+    assert {(0, 0), (1, 0)} <= got
+
+    # general clip path: a grid-aligned TRIANGLE with its vertical edge on
+    # x == 20 (not an axis rect → exercises the eps-expanded clip test)
+    ring = [{"x": 0.0, "y": 0.0}, {"x": 20.0, "y": 0.0}, {"x": 20.0, "y": 10.0}]
+    pdf = pd.DataFrame(
+        {"feature_id": ["t1"], "rings": [[ring]], "xmin": [0.0], "ymin": [0.0],
+         "xmax": [20.0], "ymax": [10.0]}
+    )
+    cov2 = spatial.feature_cover_pdf(spatial.FeatureSet(pdf), cell_size=10.0, exact=True)
+    ci2, cj2 = cells.grid_decode(cov2["cell"].to_numpy())
+    got2 = set(zip(ci2.tolist(), cj2.tolist()))
+    # (20.0, 5.0) is ON the triangle's edge (inclusive containment) and
+    # floors into cell (2, 0) — the zero-width-touch cell must be kept
+    assert (2, 0) in got2
 
 
 def test_rect_cover_unaligned_keeps_full_bbox():
@@ -164,8 +192,7 @@ def test_knn_join_points_duplicate_qids(spark):
 
     tm = _np.array([[t[1], t[2]] for t in tgt])
     tid = _np.array([t[0] for t in tgt])
-    for i, (x, y) in enumerate({(q[1], q[2]) for q in qrows}):
-        pass  # coordinates are unique per qid; verify via first 5 qids
+    assert len({(q[1], q[2]) for q in qrows}) == 20  # one coord pair per qid
     qm = {q[0]: (q[1], q[2]) for q in qrows}
     for qid in list(qm)[:5]:
         x, y = qm[qid]

@@ -113,3 +113,32 @@ def q93(spark, sf):
 
     z = ops.zone_of_events(T(spark, sf, "events"))
     return z.groupBy("zone", "event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ===========================================================================
+# decontamination (round 4): benchmark-overlap removal for training corpora
+# ===========================================================================
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lagespark.operators import dedup as _dedup  # noqa: E402
+
+_DECON_N = 20
+_DECON_SH = _dedup.shingles_sql("text", _DECON_N)
+
+@q(
+    "q100-decontaminate",
+    "WITH bm AS (SELECT DISTINCT sh FROM (SELECT unnest(" + _DECON_SH + ") AS sh "
+    "FROM documents WHERE doc_id % 97 = 0) WHERE sh IS NOT NULL), "
+    "c AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(" + _DECON_SH + ") AS sh "
+    "FROM documents WHERE doc_id % 97 <> 0)) "
+    "SELECT c.doc_id, COUNT(*) AS n_hits FROM c JOIN bm USING (sh) GROUP BY c.doc_id",
+)
+def q100(spark, sf):
+    """Test-set decontamination: flag corpus docs sharing any 20-char
+    shingle with the benchmark subset (doc_id % 97 = 0) — broadcast
+    semi-join of the benchmark shingle set; corpus never shuffles."""
+    d = T(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return _dedup.decontaminate(corpus, bench, n=_DECON_N)

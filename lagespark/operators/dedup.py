@@ -511,3 +511,40 @@ def ngram_jaccard_pairs(
         .filter(F.col("raw_jac") >= threshold)
         .select("a", "b", F.round("raw_jac", 4).alias("jaccard"))
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 40,
+) -> DataFrame:
+    """Test-set DECONTAMINATION — the training-pipeline op that flags corpus
+    documents overlapping an evaluation/benchmark set: a doc is contaminated
+    when it shares ANY length-`n` character shingle (a long verbatim span)
+    with a benchmark document. Returns (id, n_hits = number of distinct
+    shared shingles); anti-join the result to drop the contaminated docs.
+
+    100 TB shape: benchmark suites are config-scale (millions of shingles at
+    most) → their distinct shingle set BROADCASTS, and the corpus side is a
+    single projection + explode feeding the broadcast semi-join — the corpus
+    never shuffles; the only exchange is the per-doc hit count keyed on the
+    (small) contaminated subset. In production hash the shingles to int64
+    (xxhash64) so the broadcast and probe carry 8-byte keys; the raw-string
+    variant here keeps the operator portable to the DuckDB oracle verbatim."""
+    c = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingle_col(text_col, n))).alias("sh"),
+    )
+    b = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingle_col(text_col, n))).alias("sh")
+        )
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(b), "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

@@ -5,10 +5,13 @@
 - pq_topk / ivf_topk codebook training draws a seeded sample through a
   Sample node (scan pruning at scale) and stays deterministic
 - empty-input guards: pq_topk dim probe, _train_sample_pdf, knn_auto_cell_size
-- feature_cover_pdf's axis-rect shortcut trims boundary-aligned zero-width
-  cells (exact=True covers stay minimal, matching the clip-test path)
+- feature_cover_pdf covers are CONTAINMENT-conservative: boundary-aligned
+  zero-width cells stay in the cover on both the rect fast path and the
+  eps-expanded clip path (an inclusive-boundary point floors into them)
 - knn_join_points stays exact when query ids are duplicated (the pending
   loop no longer relies on unique-qid arithmetic)
+- q100 decontamination broadcasts the benchmark shingle set (corpus side
+  never shuffles for the semi-join)
 """
 
 from __future__ import annotations
@@ -253,3 +256,23 @@ def test_s2_native_plan_has_no_python_udf(spark):
     plan = buf.getvalue()
     assert "EvalPython" not in plan  # no ArrowEvalPython/BatchEvalPython
     assert "codegen id" in plan  # formatted mode marks codegen stages this way
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    """q100 shape: the benchmark shingle set rides a BroadcastHashJoin (the
+    corpus side must not shuffle for the semi-join) and the query registers
+    with a matching oracle."""
+    import io
+    from contextlib import redirect_stdout
+
+    from lagespark import harness
+    from lagespark import harness4  # noqa: F401
+
+    assert "q100-decontaminate" in harness.ORACLES
+    df = harness.QUERIES["q100-decontaminate"](spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -142,3 +142,72 @@ def q100(spark, sf):
     corpus = d.filter(F.col("doc_id") % 97 != 0)
     bench = d.filter(F.col("doc_id") % 97 == 0)
     return _dedup.decontaminate(corpus, bench, n=_DECON_N)
+
+
+# ===========================================================================
+# document packing (round 4): sequence packing for training batches
+# ===========================================================================
+
+from lagespark.operators import text as _text  # noqa: E402
+
+_PACK_BUDGET = 512  # whitespace tokens per pack
+
+
+def _q101_oracle() -> str:
+    lang = _text.langid_expr("text", "duckdb")
+    tok = _text.token_count_ws_expr("text", "duckdb")
+    base = (
+        f"SELECT doc_id, {lang} AS lang, "
+        f"CASE WHEN text IS NULL THEN 0 ELSE CAST({tok} AS BIGINT) END AS tok "
+        "FROM documents"
+    )
+    run = (
+        "SELECT lang, tok, CAST(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running "
+        f"FROM ({base})"
+    )
+    packed = (
+        "SELECT lang, CAST(FLOOR(CAST(running - tok AS DOUBLE) / "
+        f"{_PACK_BUDGET}.0) AS BIGINT) AS pack_id, tok FROM ({run})"
+    )
+    return (
+        "SELECT lang, pack_id, COUNT(*) AS n_docs, "
+        f"CAST(SUM(tok) AS BIGINT) AS total_tokens FROM ({packed}) "
+        "GROUP BY lang, pack_id"
+    )
+
+
+@q("q101-doc-pack", _q101_oracle())
+def q101(spark, sf):
+    """Sequence PACKING for training batches: greedy cumulative-token
+    chunking — doc d joins pack floor(tokens_before_d / budget), i.e. docs
+    concatenate in deterministic (doc_id) order until the budget spills
+    into the next pack (packs may overrun by one doc; the concat-and-chunk
+    semantics real pipelines use). Partitioned per LANGUAGE shard so the
+    running sum is a per-shard window, never a global total order — at
+    100 TB the shard key is the unit of parallelism (add a hash-bucket
+    sub-shard for monolingual corpora)."""
+    from pyspark.sql import functions as F
+
+    lang = _text.langid_expr("text", "spark")
+    tok = _text.token_count_ws_expr("text", "spark")
+    base = T(spark, sf, "documents").selectExpr(
+        "doc_id",
+        f"{lang} AS lang",
+        f"CASE WHEN text IS NULL THEN 0 ELSE CAST({tok} AS BIGINT) END AS tok",
+    )
+    run = base.selectExpr(
+        "lang",
+        "tok",
+        "CAST(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running",
+    )
+    packed = run.selectExpr(
+        "lang",
+        f"CAST(FLOOR(CAST(running - tok AS DOUBLE) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id",
+        "tok",
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+    )

@@ -12,6 +12,7 @@ md5, groupBy) so they scale JVM-side with no Python worker in the path:
   simhash_expr      — n-bit SimHash as generated arithmetic (portable to the
                       DuckDB oracle dialect — no bitwise ops)
   ngram_jaccard_pairs — exact set-Jaccard over shingles for pair subsets
+  decontaminate     — benchmark-overlap removal (broadcast shingle semi-join)
 
 Scale notes: minhash_pairs shuffles (doc, band_key) — at 10^12 docs the band
 key space is huge and uniform (md5), so the shuffle partitions evenly; the

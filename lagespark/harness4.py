@@ -211,3 +211,45 @@ def q101(spark, sf):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tok").cast("long").alias("total_tokens"),
     )
+
+
+# ===========================================================================
+# semantic (embedding) dedup corpus filter (round 4)
+# ===========================================================================
+
+from lagespark.operators import similarity as _sim  # noqa: E402
+
+_EMB_COS_T = 0.3
+
+
+def _q102_oracle() -> str:
+    pairs = (
+        "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a, embeddings b "
+        "WHERE a.vec_id < b.vec_id AND "
+        "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        f"CAST(b.embedding AS DOUBLE[])), 4) >= {_EMB_COS_T}"
+    )
+    return (
+        "WITH RECURSIVE p AS (" + pairs + "), "
+        "e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p), "
+        "reach AS (SELECT u, v FROM e UNION "
+        "SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u), "
+        "comp AS (SELECT u AS doc, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u) "
+        "SELECT vec_id FROM embeddings WHERE vec_id NOT IN "
+        "(SELECT doc FROM comp WHERE doc <> component)"
+    )
+
+
+@q("q102-embed-dedup-corpus", _q102_oracle())
+def q102(spark, sf):
+    """End-to-end SEMANTIC dedup filter: embedding-cosine near-dup pairs →
+    connected components → keep each cluster's minimum id + all unclustered
+    vectors — the embedding-space counterpart of q96's text-shingle filter
+    (at unbounded N swap the exact pair finder for
+    similarity.cosine_pairs_lsh; the component/filter machinery is shared)."""
+    from pyspark.sql import functions as F
+
+    e = T(spark, sf, "embeddings")
+    pairs = _sim.cosine_pairs(e, threshold=_EMB_COS_T)
+    kept = _dedup.dedup_corpus(e, pairs=pairs, id_col="vec_id")
+    return kept.select("vec_id")

@@ -302,3 +302,29 @@ def test_av_sampled_frames_match_source_psnr(spark):
             chunk = src[wno * AV_WINDOW : (wno + 1) * AV_WINDOW]
             want[: len(chunk)] = chunk
             assert (got == want).all()
+
+
+def test_av_container_rejects_garbage():
+    """Malformed containers fail with clear errors, not silent junk."""
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from lagespark.image import av
+
+    with pytest.raises(ValueError, match="LAV1"):
+        av.read_header(b"NOPE" + b"\x00" * 32)
+    with pytest.raises(ValueError, match="media type"):
+        av.read_header(av.MAGIC + bytes([9]) + b"\x00" * 32)
+    # truncated body: header parses, decoding the missing unit raises
+    blob = av.encode_video(av.procedural_frames(1, 3), 2.0)
+    hdr = av.read_header(blob)
+    cut = blob[: hdr["body_off"] + 4]
+    with pytest.raises((ValueError, zlib.error)):
+        av.decode_unit(cut, hdr, 2)
+    # empty inputs refused at encode time
+    with pytest.raises(ValueError, match="at least one"):
+        av.encode_video([], 2.0)
+    with pytest.raises(ValueError, match="at least one"):
+        av.encode_audio(np.array([], dtype=np.int16), 4000)

@@ -104,6 +104,10 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # isolate queries from each other's GC debt (same rationale as
+        # bench.py: image-payload/md5 churn otherwise inflates whatever runs
+        # next — q69 measured 45 s mid-gate vs 13 s standalone)
+        spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()

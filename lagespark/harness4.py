@@ -253,3 +253,31 @@ def q102(spark, sf):
     pairs = _sim.cosine_pairs(e, threshold=_EMB_COS_T)
     kept = _dedup.dedup_corpus(e, pairs=pairs, id_col="vec_id")
     return kept.select("vec_id")
+
+
+# ===========================================================================
+# training-mix rebalancing (round 4): per-language deterministic resampling
+# ===========================================================================
+
+_MIX_RATES = {"en": "4000", "de": "8000"}  # en ≈ 1/4, de ≈ 1/2, rest keep-all
+
+
+def _q103_oracle() -> str:
+    lang = _text.langid_expr("text", "duckdb")
+    pred = _text.stratified_sample_pred("text", "lang", _MIX_RATES, "duckdb")
+    return (
+        f"SELECT doc_id, lang FROM (SELECT doc_id, text, {lang} AS lang "
+        f"FROM documents) WHERE {pred}"
+    )
+
+
+@q("q103-mix-resample", _q103_oracle())
+def q103(spark, sf):
+    """Training-mix rebalancing: per-language deterministic content-hash
+    downsampling (en→1/4, de→1/2, rest kept) — the data-mix step between
+    dedup/quality filtering and packing. Pure Catalyst predicate; the scan
+    is the only pass and the filter pushes down."""
+    lang = _text.langid_expr("text", "spark")
+    pred = _text.stratified_sample_pred("text", "lang", _MIX_RATES, "spark")
+    d = T(spark, sf, "documents").selectExpr("doc_id", "text", f"{lang} AS lang")
+    return d.filter(F.expr(pred)).select("doc_id", "lang")

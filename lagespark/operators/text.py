@@ -134,3 +134,19 @@ def fingerprint_expr(col: str, dialect: str, mod: int = 1_000_000_007) -> str:
         f"i -> CAST(ascii(substr({col}, CAST(i AS INT), 1)) AS BIGINT))), "
         f"(a, b) -> (a * 131 + b) % {mod})"
     )
+
+
+def stratified_sample_pred(
+    col: str, lang_expr: str, rates: dict[str, str], dialect: str
+) -> str:
+    """Training-MIX rebalancing predicate: per-language deterministic
+    downsampling — keep a doc iff its content-hash sorts below the
+    language's rate threshold (rate_hex4 semantics as sample_hash_expr;
+    languages absent from `rates` keep everything). Deterministic at any
+    partitioning/scale, so the mix is reproducible and resumable; rates are
+    configuration, the predicate is pure Catalyst/SQL."""
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {sample_hash_expr(col, dialect, rate_hex4=hex4, seed=f'mix-{lang}')}"
+        for lang, hex4 in sorted(rates.items())
+    )
+    return f"(CASE {lang_expr} {cases} ELSE TRUE END)"

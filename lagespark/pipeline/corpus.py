@@ -1,0 +1,169 @@
+"""End-to-end TRAINING-CORPUS pipeline CLI — the text counterpart of the
+image pipeline (pipeline/cli.py), chaining the registry's data-pipeline
+operators into one resumable, checkpoint-manifested job:
+
+  clean   — normalize + language-ID + token counts + quality signals;
+            quality gate drops short/punct-heavy docs (partitioned by lang
+            → partition pruning serves both per-language reads and resume)
+  dedup   — production MinHash+LSH candidates → EXACT Jaccard refine →
+            connected components → keep each cluster's minimum id (all in
+            native Catalyst; raw LSH candidates alone would over-merge a
+            template-dense corpus into one giant cluster)
+  decon   — test-set decontamination against the eval holdout
+            (doc_id % 97 = 0): drop docs sharing any 20-char span
+  mix     — per-language deterministic content-hash downsampling
+            (training-mix rebalancing; rates are configuration)
+  pack    — greedy cumulative-token sequence packing per language shard
+
+Every stage writes partitioned parquet + a JSON manifest (per-partition
+lineage + metrics, atomic commit — pipeline/manifest.py), so a killed run
+resumes from the last committed stage and a cluster swaps the writer to
+Iceberg via the format-pluggable seam.
+
+Usage:
+  python -m lagespark.pipeline.corpus --out /tmp/corpus \
+      --sf-dir /root/testdata/sf0.01 [--resume] [--master local[8]]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from pyspark.sql import functions as F
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="lagespark-corpus", description=__doc__)
+    p.add_argument("--out", required=True, help="output root directory")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--master", default=None)
+    p.add_argument("--min-tokens", type=int, default=5)
+    p.add_argument("--max-punct-ratio", type=float, default=0.3)
+    p.add_argument("--dedup-jaccard", type=float, default=0.9)
+    p.add_argument("--decon-ngram", type=int, default=20)
+    p.add_argument("--pack-budget", type=int, default=512)
+    p.add_argument("--mix-rates", default="en:4000,de:8000",
+                   help="lang:rate_hex4 pairs; absent langs keep everything")
+    return p
+
+
+def run(args) -> dict:
+    from lagespark.operators import dedup, text
+    from lagespark.pipeline import manifest
+    from lagespark.session import get_spark
+
+    spark = get_spark(args.master, app_name="lagespark-corpus")
+    spark.sparkContext.setLogLevel("WARN")
+
+    docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
+
+    def stage(df_builder, out_dir, name, inputs):
+        """Build + write the stage, or — on resume with a complete manifest
+        for the SAME inputs — skip even constructing the DataFrame
+        (iterative builders fire jobs at construction time)."""
+        if args.resume and manifest.stage_done(out_dir, inputs):
+            man = manifest.read_manifest(out_dir)
+        else:
+            man = manifest.write_stage(
+                df_builder(), out_dir, name, "lang", inputs=inputs,
+                resume=args.resume,
+            )
+        df, _ = manifest.read_stage(spark, out_dir)
+        return df, man
+
+    # stage 1: clean — normalize, langid, tokens, quality gate
+    clean_dir = os.path.join(args.out, "clean")
+    lang = text.langid_expr("text", "spark")
+    tok = text.token_count_ws_expr("text", "spark")
+    qual = text.quality_exprs("text", "spark")
+    clean = docs.filter(F.col("text").isNotNull()).selectExpr(
+        "doc_id",
+        "text",
+        text.normalize_expr("text", "spark") + " AS norm",
+        f"{lang} AS lang",
+        f"CAST({tok} AS BIGINT) AS tok",
+        f"{qual['punct_ratio']} AS punct_ratio",
+    ).filter(
+        (F.col("tok") >= args.min_tokens)
+        & (F.col("punct_ratio") <= args.max_punct_ratio)
+    )
+    clean, m1 = stage(lambda: clean, clean_dir, "clean", [])
+
+    # stage 2: dedup — LSH candidates over the NORMALIZED text, refined by
+    # exact n-gram Jaccard (only candidates pay the set comparison), then
+    # components → keep each cluster's min id (+ all unclustered docs)
+    dedup_dir = os.path.join(args.out, "dedup")
+
+    def _build_dedup():
+        pairs = dedup.minhash_jaccard_pairs(
+            clean, id_col="doc_id", text_col="norm", threshold=args.dedup_jaccard
+        )
+        return dedup.dedup_corpus(clean, pairs=pairs, id_col="doc_id")
+
+    kept, m2 = stage(_build_dedup, dedup_dir, "dedup", [clean_dir])
+
+    # stage 3: decon — drop docs overlapping the eval holdout
+    decon_dir = os.path.join(args.out, "decon")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = kept.filter(F.col("doc_id") % 97 != 0)
+    def _build_decon():
+        contaminated = dedup.decontaminate(
+            corpus, bench, id_col="doc_id", text_col="text", n=args.decon_ngram
+        ).select("doc_id")
+        return corpus.join(contaminated, "doc_id", "left_anti")
+
+    deconned, m3 = stage(_build_decon, decon_dir, "decon", [dedup_dir])
+
+    # stage 4: mix — per-language deterministic downsampling
+    mix_dir = os.path.join(args.out, "mix")
+    rates = dict(kv.split(":") for kv in args.mix_rates.split(",") if kv)
+    pred = text.stratified_sample_pred("text", "lang", rates, "spark")
+    mixed, m4 = stage(
+        lambda: deconned.filter(F.expr(pred)), mix_dir, "mix", [decon_dir]
+    )
+
+    # stage 5: pack — greedy cumulative-token chunking per language shard
+    pack_dir = os.path.join(args.out, "packs")
+    running = mixed.selectExpr(
+        "doc_id",
+        "lang",
+        "tok",
+        "CAST(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running",
+    ).selectExpr(
+        "doc_id",
+        "lang",
+        "tok",
+        f"CAST(FLOOR(CAST(running - tok AS DOUBLE) / {args.pack_budget}.0) "
+        "AS BIGINT) AS pack_id",
+    )
+    packs, m5 = stage(lambda: running, pack_dir, "packs", [mix_dir])
+
+    def _rows(man: dict) -> int:
+        return sum(p["rows"] for p in man["partitions"].values())
+
+    stats = {
+        "input_docs": docs.count(),
+        "clean": _rows(m1),
+        "dedup": _rows(m2),
+        "decon": _rows(m3),
+        "mix": _rows(m4),
+        "packed_docs": _rows(m5),
+        "n_packs": packs.select("lang", "pack_id").distinct().count(),
+    }
+    with open(os.path.join(args.out, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+    return stats
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    stats = run(args)
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()

@@ -153,3 +153,13 @@ def write_stage(
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmp, _manifest_path(out_dir))  # atomic commit
     return manifest
+
+
+def stage_done(out_dir: str, inputs: list[str] | None = None) -> bool:
+    """True iff the stage committed completely WITH the same inputs — lets a
+    caller skip building the stage's DataFrame entirely. This matters for
+    plans whose CONSTRUCTION runs jobs (iterative operators like
+    duplicate_components fire per-round actions while the frame is being
+    built, long before write_stage could skip the write)."""
+    man = read_manifest(out_dir)
+    return bool(man and man.get("complete") and man.get("inputs") == (inputs or []))

@@ -169,3 +169,32 @@ def test_read_stage_verifies_manifest(spark, fresh_run, tmp_path):
     shutil.rmtree(os.path.join(victim, parts[0]))
     with pytest.raises(RuntimeError, match="partitions on disk"):
         read_stage(spark, victim)
+
+
+def test_corpus_pipeline_end_to_end_and_resume(spark, tmp_path):
+    """The text-corpus pipeline (clean → dedup → decon → mix → pack) runs
+    end-to-end with committed manifests, and a --resume rerun skips every
+    stage (stage_done short-circuits BEFORE the iterative dedup builder
+    would fire its per-round jobs) while reproducing identical stats."""
+    from lagespark.pipeline import corpus, manifest
+
+    out = str(tmp_path / "corpus")
+    args = corpus.build_parser().parse_args(
+        ["--out", out, "--sf-dir", "/root/testdata/sf0.001"]
+    )
+    stats = corpus.run(args)
+    assert stats["input_docs"] == 500
+    # the funnel only narrows, and every stage keeps something
+    order = ["clean", "dedup", "decon", "mix", "packed_docs"]
+    vals = [stats[k] for k in order]
+    assert vals == sorted(vals, reverse=True) and vals[-1] > 0
+    assert stats["n_packs"] > 0
+    for st in ("clean", "dedup", "decon", "mix", "packs"):
+        assert manifest.stage_done(f"{out}/{st}") or manifest.read_manifest(
+            f"{out}/{st}"
+        ).get("complete")
+
+    args2 = corpus.build_parser().parse_args(
+        ["--out", out, "--sf-dir", "/root/testdata/sf0.001", "--resume"]
+    )
+    assert corpus.run(args2) == stats

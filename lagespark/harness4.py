@@ -156,20 +156,14 @@ _PACK_BUDGET = 512  # whitespace tokens per pack
 def _q101_oracle() -> str:
     lang = _text.langid_expr("text", "duckdb")
     tok = _text.token_count_ws_expr("text", "duckdb")
+    running, pack_id = _text.pack_exprs("tok", "lang", "doc_id", _PACK_BUDGET)
     base = (
         f"SELECT doc_id, {lang} AS lang, "
         f"CASE WHEN text IS NULL THEN 0 ELSE CAST({tok} AS BIGINT) END AS tok "
         "FROM documents"
     )
-    run = (
-        "SELECT lang, tok, CAST(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running "
-        f"FROM ({base})"
-    )
-    packed = (
-        "SELECT lang, CAST(FLOOR(CAST(running - tok AS DOUBLE) / "
-        f"{_PACK_BUDGET}.0) AS BIGINT) AS pack_id, tok FROM ({run})"
-    )
+    run = f"SELECT lang, tok, {running} AS running FROM ({base})"
+    packed = f"SELECT lang, {pack_id} AS pack_id, tok FROM ({run})"
     return (
         "SELECT lang, pack_id, COUNT(*) AS n_docs, "
         f"CAST(SUM(tok) AS BIGINT) AS total_tokens FROM ({packed}) "
@@ -196,17 +190,9 @@ def q101(spark, sf):
         f"{lang} AS lang",
         f"CASE WHEN text IS NULL THEN 0 ELSE CAST({tok} AS BIGINT) END AS tok",
     )
-    run = base.selectExpr(
-        "lang",
-        "tok",
-        "CAST(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running",
-    )
-    packed = run.selectExpr(
-        "lang",
-        f"CAST(FLOOR(CAST(running - tok AS DOUBLE) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id",
-        "tok",
-    )
+    running, pack_id = _text.pack_exprs("tok", "lang", "doc_id", _PACK_BUDGET)
+    run = base.selectExpr("doc_id", "lang", "tok", f"{running} AS running")
+    packed = run.selectExpr("lang", f"{pack_id} AS pack_id", "tok")
     return packed.groupBy("lang", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tok").cast("long").alias("total_tokens"),

@@ -534,14 +534,15 @@ def decontaminate(
     (small) contaminated subset. In production hash the shingles to int64
     (xxhash64) so the broadcast and probe carry 8-byte keys; the raw-string
     variant here keeps the operator portable to the DuckDB oracle verbatim."""
-    c = corpus.select(
+    # _spread: the CPU-bound shingle projection otherwise runs single-
+    # threaded off a small-file scan (CLAUDE.md invariant); shingle_col is
+    # distinct=True already — no second distinct pass needed
+    c = _spread(corpus.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingle_col(text_col, n))).alias("sh"),
+        F.explode(shingle_col(text_col, n)).alias("sh"),
     )
     b = (
-        benchmark.select(
-            F.explode(F.array_distinct(shingle_col(text_col, n))).alias("sh")
-        )
+        benchmark.select(F.explode(shingle_col(text_col, n)).alias("sh"))
         .distinct()
     )
     return (

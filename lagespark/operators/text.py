@@ -150,3 +150,22 @@ def stratified_sample_pred(
         for lang, hex4 in sorted(rates.items())
     )
     return f"(CASE {lang_expr} {cases} ELSE TRUE END)"
+
+
+def pack_exprs(tok_col: str, lang_col: str, order_col: str, budget: int) -> tuple[str, str]:
+    """Greedy cumulative-token sequence-packing expressions, shared by the
+    q101 Spark body, its DuckDB oracle, and the corpus pipeline so the
+    semantics cannot drift. Returns (running_sql, pack_id_sql); apply the
+    first AS `running`, then the second on the aliased frame. The text is
+    dialect-portable as-is (identical window + arithmetic in Spark SQL and
+    DuckDB); the dividend CASTs to DOUBLE before the division and the
+    window result to BIGINT (DuckDB SUM returns HUGEINT) per the repo's
+    cross-dialect conventions."""
+    running = (
+        f"CAST(SUM({tok_col}) OVER (PARTITION BY {lang_col} ORDER BY {order_col} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+    )
+    pack_id = (
+        f"CAST(FLOOR(CAST(running - {tok_col} AS DOUBLE) / {budget}.0) AS BIGINT)"
+    )
+    return running, pack_id

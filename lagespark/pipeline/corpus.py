@@ -103,7 +103,10 @@ def run(args) -> dict:
         )
         return dedup.dedup_corpus(clean, pairs=pairs, id_col="doc_id")
 
-    kept, m2 = stage(_build_dedup, dedup_dir, "dedup", [clean_dir])
+    # inputs = upstream MANIFEST IDS (not paths): a rebuilt upstream stage
+    # gets a fresh id, so stage_done/write_stage invalidate downstream
+    # checkpoints instead of serving stale data (see pipeline/cli.py)
+    kept, m2 = stage(_build_dedup, dedup_dir, "dedup", [m1["manifest_id"]])
 
     # stage 3: decon — drop docs overlapping the eval holdout
     decon_dir = os.path.join(args.out, "decon")
@@ -115,32 +118,23 @@ def run(args) -> dict:
         ).select("doc_id")
         return corpus.join(contaminated, "doc_id", "left_anti")
 
-    deconned, m3 = stage(_build_decon, decon_dir, "decon", [dedup_dir])
+    deconned, m3 = stage(_build_decon, decon_dir, "decon", [m2["manifest_id"]])
 
     # stage 4: mix — per-language deterministic downsampling
     mix_dir = os.path.join(args.out, "mix")
     rates = dict(kv.split(":") for kv in args.mix_rates.split(",") if kv)
     pred = text.stratified_sample_pred("text", "lang", rates, "spark")
     mixed, m4 = stage(
-        lambda: deconned.filter(F.expr(pred)), mix_dir, "mix", [decon_dir]
+        lambda: deconned.filter(F.expr(pred)), mix_dir, "mix", [m3["manifest_id"]]
     )
 
     # stage 5: pack — greedy cumulative-token chunking per language shard
     pack_dir = os.path.join(args.out, "packs")
+    run_sql, pack_sql = text.pack_exprs("tok", "lang", "doc_id", args.pack_budget)
     running = mixed.selectExpr(
-        "doc_id",
-        "lang",
-        "tok",
-        "CAST(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running",
-    ).selectExpr(
-        "doc_id",
-        "lang",
-        "tok",
-        f"CAST(FLOOR(CAST(running - tok AS DOUBLE) / {args.pack_budget}.0) "
-        "AS BIGINT) AS pack_id",
-    )
-    packs, m5 = stage(lambda: running, pack_dir, "packs", [mix_dir])
+        "doc_id", "lang", "tok", f"{run_sql} AS running"
+    ).selectExpr("doc_id", "lang", "tok", f"{pack_sql} AS pack_id")
+    packs, m5 = stage(lambda: running, pack_dir, "packs", [m4["manifest_id"]])
 
     def _rows(man: dict) -> int:
         return sum(p["rows"] for p in man["partitions"].values())

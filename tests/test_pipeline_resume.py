@@ -189,10 +189,16 @@ def test_corpus_pipeline_end_to_end_and_resume(spark, tmp_path):
     vals = [stats[k] for k in order]
     assert vals == sorted(vals, reverse=True) and vals[-1] > 0
     assert stats["n_packs"] > 0
-    for st in ("clean", "dedup", "decon", "mix", "packs"):
-        assert manifest.stage_done(f"{out}/{st}") or manifest.read_manifest(
-            f"{out}/{st}"
-        ).get("complete")
+    # the EXACT resume-skip predicate run() uses: stage_done with the
+    # upstream manifest id as inputs — true for every stage in the chain
+    chain = [("clean", []), ("dedup", ["clean"]), ("decon", ["dedup"]),
+             ("mix", ["decon"]), ("packs", ["mix"])]
+    for st, ups in chain:
+        inputs = [manifest.read_manifest(f"{out}/{u}")["manifest_id"] for u in ups]
+        assert manifest.stage_done(f"{out}/{st}", inputs), st
+    # lineage invalidation: a REBUILT upstream (different manifest_id) must
+    # flip downstream stage_done to False — stale data is never served
+    assert not manifest.stage_done(f"{out}/{'dedup'}", ["not-the-real-id"])
 
     args2 = corpus.build_parser().parse_args(
         ["--out", out, "--sf-dir", "/root/testdata/sf0.001", "--resume"]

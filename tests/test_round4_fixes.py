@@ -276,3 +276,34 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_doc_pack_invariants(spark):
+    """Sequence-packing semantics (q101 / pipeline pack stage): packs are
+    contiguous per shard, conserve every token, and overrun the budget by
+    at most one document (greedy concat-and-chunk)."""
+    import numpy as np
+
+    from lagespark.operators import text
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (int(i), ["en", "de", "fr"][i % 3], int(rng.integers(1, 400)))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, tok long")
+    budget = 512
+    running, pack_id = text.pack_exprs("tok", "lang", "doc_id", budget)
+    packed = (
+        df.selectExpr("doc_id", "lang", "tok", f"{running} AS running")
+        .selectExpr("doc_id", "lang", "tok", f"{pack_id} AS pack_id")
+        .toPandas()
+    )
+    assert packed["tok"].sum() == sum(r[2] for r in rows)  # token conservation
+    for lang, g in packed.groupby("lang"):
+        ids = sorted(g["pack_id"].unique())
+        assert ids == list(range(len(ids)))  # contiguous pack ids per shard
+        per = g.groupby("pack_id")["tok"].agg(["sum", "max"])
+        # greedy overrun bound: a pack exceeds the budget only by (part of)
+        # its final document
+        assert (per["sum"] < budget + per["max"]).all()

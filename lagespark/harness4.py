@@ -232,7 +232,13 @@ def q102(spark, sf):
     connected components → keep each cluster's minimum id + all unclustered
     vectors — the embedding-space counterpart of q96's text-shingle filter
     (at unbounded N swap the exact pair finder for
-    similarity.cosine_pairs_lsh; the component/filter machinery is shared)."""
+    similarity.cosine_pairs_lsh; the component/filter machinery is shared).
+
+    Scale note on the HARNESS data: the synthetic embedding table percolates
+    at this threshold as density grows — sf0.01 keeps 18 of 500 vectors,
+    sf0.1 collapses to ONE connected component (1 kept). Both are the
+    mathematically-correct transitive closure (oracle-matched); threshold
+    choice vs corpus density is configuration, exactly as in text dedup."""
     from pyspark.sql import functions as F
 
     e = T(spark, sf, "embeddings")

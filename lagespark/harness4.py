@@ -151,23 +151,25 @@ def q100(spark, sf):
 from lagespark.operators import text as _text  # noqa: E402
 
 _PACK_BUDGET = 512  # whitespace tokens per pack
+_PACK_SHARD = ("lang", "bucket")  # language × 16-way hash sub-shard
 
 
 def _q101_oracle() -> str:
     lang = _text.langid_expr("text", "duckdb")
     tok = _text.token_count_ws_expr("text", "duckdb")
-    running, pack_id = _text.pack_exprs("tok", "lang", "doc_id", _PACK_BUDGET)
+    bucket = _text.pack_bucket_expr("doc_id", "duckdb")
+    running, pack_id = _text.pack_exprs("tok", _PACK_SHARD, "doc_id", _PACK_BUDGET)
     base = (
-        f"SELECT doc_id, {lang} AS lang, "
+        f"SELECT doc_id, {lang} AS lang, {bucket} AS bucket, "
         f"CASE WHEN text IS NULL THEN 0 ELSE CAST({tok} AS BIGINT) END AS tok "
         "FROM documents"
     )
-    run = f"SELECT lang, tok, {running} AS running FROM ({base})"
-    packed = f"SELECT lang, {pack_id} AS pack_id, tok FROM ({run})"
+    run = f"SELECT lang, bucket, tok, {running} AS running FROM ({base})"
+    packed = f"SELECT lang, bucket, {pack_id} AS pack_id, tok FROM ({run})"
     return (
-        "SELECT lang, pack_id, COUNT(*) AS n_docs, "
+        "SELECT lang, bucket, pack_id, COUNT(*) AS n_docs, "
         f"CAST(SUM(tok) AS BIGINT) AS total_tokens FROM ({packed}) "
-        "GROUP BY lang, pack_id"
+        "GROUP BY lang, bucket, pack_id"
     )
 
 
@@ -177,23 +179,26 @@ def q101(spark, sf):
     chunking — doc d joins pack floor(tokens_before_d / budget), i.e. docs
     concatenate in deterministic (doc_id) order until the budget spills
     into the next pack (packs may overrun by one doc; the concat-and-chunk
-    semantics real pipelines use). Partitioned per LANGUAGE shard so the
-    running sum is a per-shard window, never a global total order — at
-    100 TB the shard key is the unit of parallelism (add a hash-bucket
-    sub-shard for monolingual corpora)."""
+    semantics real pipelines use). The running sum is a per-(language,
+    hash-bucket) window — pack_bucket_expr's 16-way md5 sub-shard bounds any
+    reducer's input at corpus/16 even for a monolingual corpus, so the
+    window is never a global (or per-language) total order at 100 TB; the
+    bucket count is the parallelism knob."""
     from pyspark.sql import functions as F
 
     lang = _text.langid_expr("text", "spark")
     tok = _text.token_count_ws_expr("text", "spark")
+    bucket = _text.pack_bucket_expr("doc_id", "spark")
     base = T(spark, sf, "documents").selectExpr(
         "doc_id",
         f"{lang} AS lang",
+        f"{bucket} AS bucket",
         f"CASE WHEN text IS NULL THEN 0 ELSE CAST({tok} AS BIGINT) END AS tok",
     )
-    running, pack_id = _text.pack_exprs("tok", "lang", "doc_id", _PACK_BUDGET)
-    run = base.selectExpr("doc_id", "lang", "tok", f"{running} AS running")
-    packed = run.selectExpr("lang", f"{pack_id} AS pack_id", "tok")
-    return packed.groupBy("lang", "pack_id").agg(
+    running, pack_id = _text.pack_exprs("tok", _PACK_SHARD, "doc_id", _PACK_BUDGET)
+    run = base.selectExpr("doc_id", "lang", "bucket", "tok", f"{running} AS running")
+    packed = run.selectExpr("lang", "bucket", f"{pack_id} AS pack_id", "tok")
+    return packed.groupBy("lang", "bucket", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tok").cast("long").alias("total_tokens"),
     )

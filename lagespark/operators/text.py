@@ -152,17 +152,46 @@ def stratified_sample_pred(
     return f"(CASE {lang_expr} {cases} ELSE TRUE END)"
 
 
-def pack_exprs(tok_col: str, lang_col: str, order_col: str, budget: int) -> tuple[str, str]:
+def pack_bucket_expr(order_col: str, dialect: str, n_hex: int = 1) -> str:
+    """Hash-bucket sub-shard for sequence packing: a deterministic
+    16^n_hex-way bucket derived from md5(order_col), emitted identically in
+    Spark SQL and DuckDB. This is the scale fix for the packing window — a
+    monolingual 100 TB corpus would otherwise push every row of one language
+    through ONE sorted window reducer; (lang, bucket) caps any reducer's
+    input at corpus/16^n_hex regardless of the language mix, and the bucket
+    count is the parallelism knob. Portable by construction: md5 hex is
+    byte-identical everywhere, and the hex digit decodes via a position scan
+    (Spark `instr` / DuckDB `strpos` — no conv()/from_hex dialect gap)."""
+    cast_t = "STRING" if dialect == "spark" else "VARCHAR"
+    sub = "substring" if dialect == "spark" else "substr"
+    pos = "instr" if dialect == "spark" else "strpos"
+    h = f"md5(CAST({order_col} AS {cast_t}))"
+    terms = [
+        f"({pos}('0123456789abcdef', {sub}({h}, {i + 1}, 1)) - 1) * {16 ** (n_hex - 1 - i)}"
+        for i in range(n_hex)
+    ]
+    return f"CAST({' + '.join(terms)} AS INT)"
+
+
+def pack_exprs(
+    tok_col: str, shard_cols, order_col: str, budget: int
+) -> tuple[str, str]:
     """Greedy cumulative-token sequence-packing expressions, shared by the
     q101 Spark body, its DuckDB oracle, and the corpus pipeline so the
-    semantics cannot drift. Returns (running_sql, pack_id_sql); apply the
-    first AS `running`, then the second on the aliased frame. The text is
+    semantics cannot drift. `shard_cols` is the window partition key — a
+    single column name or a sequence; production shards are
+    (lang, hash-bucket) via pack_bucket_expr so no single reducer ever holds
+    a whole language. Returns (running_sql, pack_id_sql); apply the first AS
+    `running`, then the second on the aliased frame. The text is
     dialect-portable as-is (identical window + arithmetic in Spark SQL and
     DuckDB); the dividend CASTs to DOUBLE before the division and the
     window result to BIGINT (DuckDB SUM returns HUGEINT) per the repo's
     cross-dialect conventions."""
+    if isinstance(shard_cols, str):
+        shard_cols = (shard_cols,)
+    part = ", ".join(shard_cols)
     running = (
-        f"CAST(SUM({tok_col}) OVER (PARTITION BY {lang_col} ORDER BY {order_col} "
+        f"CAST(SUM({tok_col}) OVER (PARTITION BY {part} ORDER BY {order_col} "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
     )
     pack_id = (

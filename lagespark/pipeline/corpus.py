@@ -50,6 +50,27 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _fingerprint(path: str) -> str:
+    """Cheap content fingerprint of a parquet file/dir: resolved path plus
+    every file's (relative name, size, mtime_ns). Changing --sf-dir OR
+    regenerating the source data changes the fingerprint, which changes
+    stage 1's inputs and therefore invalidates the manifest-id chain."""
+    import hashlib
+
+    path = os.path.abspath(path)
+    h = hashlib.md5(path.encode())
+    if os.path.isdir(path):
+        for root, _dirs, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                rel = os.path.relpath(os.path.join(root, f), path)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
+    elif os.path.exists(path):
+        st = os.stat(path)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return f"src:{path}:{h.hexdigest()}"
+
+
 def run(args) -> dict:
     from lagespark.operators import dedup, text
     from lagespark.pipeline import manifest
@@ -74,7 +95,14 @@ def run(args) -> dict:
         df, _ = manifest.read_stage(spark, out_dir)
         return df, man
 
-    # stage 1: clean — normalize, langid, tokens, quality gate
+    # stage 1: clean — normalize, langid, tokens, quality gate.
+    # inputs = the resolved source dir + a cheap content fingerprint of
+    # documents.parquet (file sizes + mtimes): re-running into the same --out
+    # with a different --sf-dir (or regenerated source data) must invalidate
+    # the whole manifest-id chain instead of silently serving the stale
+    # clean stage (stage_done compares inputs).
+    src = os.path.join(args.sf_dir, "documents.parquet")
+    src_fp = _fingerprint(src)
     clean_dir = os.path.join(args.out, "clean")
     lang = text.langid_expr("text", "spark")
     tok = text.token_count_ws_expr("text", "spark")
@@ -90,7 +118,7 @@ def run(args) -> dict:
         (F.col("tok") >= args.min_tokens)
         & (F.col("punct_ratio") <= args.max_punct_ratio)
     )
-    clean, m1 = stage(lambda: clean, clean_dir, "clean", [])
+    clean, m1 = stage(lambda: clean, clean_dir, "clean", [src_fp])
 
     # stage 2: dedup — LSH candidates over the NORMALIZED text, refined by
     # exact n-gram Jaccard (only candidates pay the set comparison), then
@@ -128,12 +156,19 @@ def run(args) -> dict:
         lambda: deconned.filter(F.expr(pred)), mix_dir, "mix", [m3["manifest_id"]]
     )
 
-    # stage 5: pack — greedy cumulative-token chunking per language shard
+    # stage 5: pack — greedy cumulative-token chunking per (lang, hash-bucket)
+    # shard: the 16-way md5 sub-shard bounds any window reducer's input at
+    # corpus/16 even when the mix is monolingual (pack_bucket_expr)
     pack_dir = os.path.join(args.out, "packs")
-    run_sql, pack_sql = text.pack_exprs("tok", "lang", "doc_id", args.pack_budget)
+    bucket_sql = text.pack_bucket_expr("doc_id", "spark")
+    run_sql, pack_sql = text.pack_exprs(
+        "tok", ("lang", "bucket"), "doc_id", args.pack_budget
+    )
     running = mixed.selectExpr(
-        "doc_id", "lang", "tok", f"{run_sql} AS running"
-    ).selectExpr("doc_id", "lang", "tok", f"{pack_sql} AS pack_id")
+        "doc_id", "lang", f"{bucket_sql} AS bucket", "tok"
+    ).selectExpr(
+        "doc_id", "lang", "bucket", "tok", f"{run_sql} AS running"
+    ).selectExpr("doc_id", "lang", "bucket", "tok", f"{pack_sql} AS pack_id")
     packs, m5 = stage(lambda: running, pack_dir, "packs", [m4["manifest_id"]])
 
     def _rows(man: dict) -> int:
@@ -146,7 +181,7 @@ def run(args) -> dict:
         "decon": _rows(m3),
         "mix": _rows(m4),
         "packed_docs": _rows(m5),
-        "n_packs": packs.select("lang", "pack_id").distinct().count(),
+        "n_packs": packs.select("lang", "bucket", "pack_id").distinct().count(),
     }
     with open(os.path.join(args.out, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1)

@@ -10,3 +10,12 @@ def spark():
     s = get_spark("local[4]", app_name="lagespark-tests")
     s.sparkContext.setLogLevel("ERROR")
     yield s
+
+
+@pytest.fixture()
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    yield con
+    con.close()

@@ -190,15 +190,23 @@ def test_corpus_pipeline_end_to_end_and_resume(spark, tmp_path):
     assert vals == sorted(vals, reverse=True) and vals[-1] > 0
     assert stats["n_packs"] > 0
     # the EXACT resume-skip predicate run() uses: stage_done with the
-    # upstream manifest id as inputs — true for every stage in the chain
+    # upstream manifest id as inputs — true for every stage in the chain.
+    # Stage 1's input is the SOURCE fingerprint (path + file sizes/mtimes),
+    # so pointing the same --out at a different/regenerated --sf-dir
+    # invalidates the whole chain instead of serving the stale clean stage.
+    src_fp = corpus._fingerprint("/root/testdata/sf0.001/documents.parquet")
     chain = [("clean", []), ("dedup", ["clean"]), ("decon", ["dedup"]),
              ("mix", ["decon"]), ("packs", ["mix"])]
     for st, ups in chain:
         inputs = [manifest.read_manifest(f"{out}/{u}")["manifest_id"] for u in ups]
+        if st == "clean":
+            inputs = [src_fp]
         assert manifest.stage_done(f"{out}/{st}", inputs), st
     # lineage invalidation: a REBUILT upstream (different manifest_id) must
     # flip downstream stage_done to False — stale data is never served
     assert not manifest.stage_done(f"{out}/{'dedup'}", ["not-the-real-id"])
+    # ...and a CHANGED source must flip stage 1 itself (ADVICE round-4 fix)
+    assert not manifest.stage_done(f"{out}/clean", ["src:/other:deadbeef"])
 
     args2 = corpus.build_parser().parse_args(
         ["--out", out, "--sf-dir", "/root/testdata/sf0.001", "--resume"]

@@ -280,8 +280,8 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
 
 def test_doc_pack_invariants(spark):
     """Sequence-packing semantics (q101 / pipeline pack stage): packs are
-    contiguous per shard, conserve every token, and overrun the budget by
-    at most one document (greedy concat-and-chunk)."""
+    contiguous per (lang, bucket) shard, conserve every token, and overrun
+    the budget by at most one document (greedy concat-and-chunk)."""
     import numpy as np
 
     from lagespark.operators import text
@@ -293,17 +293,65 @@ def test_doc_pack_invariants(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, lang string, tok long")
     budget = 512
-    running, pack_id = text.pack_exprs("tok", "lang", "doc_id", budget)
+    bucket = text.pack_bucket_expr("doc_id", "spark")
+    running, pack_id = text.pack_exprs(
+        "tok", ("lang", "bucket"), "doc_id", budget
+    )
     packed = (
-        df.selectExpr("doc_id", "lang", "tok", f"{running} AS running")
-        .selectExpr("doc_id", "lang", "tok", f"{pack_id} AS pack_id")
+        df.selectExpr("doc_id", "lang", f"{bucket} AS bucket", "tok")
+        .selectExpr("doc_id", "lang", "bucket", "tok", f"{running} AS running")
+        .selectExpr("doc_id", "lang", "bucket", "tok", f"{pack_id} AS pack_id")
         .toPandas()
     )
     assert packed["tok"].sum() == sum(r[2] for r in rows)  # token conservation
-    for lang, g in packed.groupby("lang"):
+    assert packed["bucket"].between(0, 15).all()
+    assert packed["bucket"].nunique() > 4  # the md5 sub-shard really spreads
+    for (lang, bkt), g in packed.groupby(["lang", "bucket"]):
         ids = sorted(g["pack_id"].unique())
         assert ids == list(range(len(ids)))  # contiguous pack ids per shard
         per = g.groupby("pack_id")["tok"].agg(["sum", "max"])
         # greedy overrun bound: a pack exceeds the budget only by (part of)
         # its final document
         assert (per["sum"] < budget + per["max"]).all()
+
+
+def test_doc_pack_bucket_parity_and_window_partitioning(spark, duck):
+    """The hash sub-shard is dialect-portable (Spark and DuckDB decode the
+    same md5 digit to the same bucket for the same ids) AND the physical
+    window really partitions by (lang, bucket), not lang alone — the q101
+    scale fix: no single reducer holds a whole language."""
+    import io
+    from contextlib import redirect_stdout
+
+    from lagespark import harness
+    from lagespark import harness4  # noqa: F401  (registers q101)
+    from lagespark.operators import text
+
+    ids = list(range(0, 4000, 7))
+    sdf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    s_bkt = {
+        r["doc_id"]: r["bucket"]
+        for r in sdf.selectExpr(
+            "doc_id", text.pack_bucket_expr("doc_id", "spark") + " AS bucket"
+        ).collect()
+    }
+    d_expr = text.pack_bucket_expr("doc_id", "duckdb")
+    d_rows = duck.execute(
+        f"SELECT doc_id, {d_expr} AS bucket FROM "
+        f"(SELECT unnest({ids}) AS doc_id)"
+    ).fetchall()
+    assert {i: b for i, b in d_rows} == s_bkt
+    assert set(s_bkt.values()) == set(range(16))
+
+    df = harness.QUERIES["q101-doc-pack"](spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    m = re.search(
+        r"windowspecdefinition\((\w+)#\d+L?, (\w+)#\d+L?, (\w+)#\d+L? ASC", plan
+    )
+    assert m, f"no window spec found in plan:\n{plan}"
+    assert m.groups() == ("lang", "bucket", "doc_id")

@@ -76,6 +76,18 @@ def main() -> None:
 
     n_points = harness.points_df(spark, sf_dir).count()
 
+    # hardware calibration BEFORE the timed queries: per-core numpy kernel
+    # throughput at 4-way occupancy (BENCH/scaling.py's calibrate). This
+    # makes box contention attributable from the bench record alone — an
+    # anomalous total with a normal hw_rows_per_core_sec is an engine
+    # regression; a depressed calibration value means a contended/slow box
+    # (the round-4 69.9 s driver record needed three idle re-runs to
+    # adjudicate; this field settles it in-record). Idle reference on this
+    # box at 4-way occupancy: ~5e5 rows/core/sec (BENCH/BASELINE.md).
+    from BENCH.scaling import calibrate
+
+    hw_rate = round(calibrate(cores=4, seconds=1.5))
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -98,6 +110,7 @@ def main() -> None:
         "cpus": int(cpus),
         "spatial_rows": n_points,
         "flagship_rows_per_sec": round(n_points / flagship_sec) if flagship_sec else None,
+        "hw_rows_per_core_sec": hw_rate,
     }
     print(json.dumps(out))
 

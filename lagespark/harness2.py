@@ -223,8 +223,8 @@ def q76(spark, sf):
     e = T(spark, sf, "embeddings")
     qs = e.filter(F.col("vec_id") % 25 == 0)
     # planes ≈ log2(N / desired_bucket_size); multi-table OR-amplification
-    # for recall (~0.65 vs exact q75 on this data — asserted in tests)
-    return similarity.lsh_topk(qs, e, k=5, planes=4, tables=6)
+    # for recall (>= 0.8 vs exact q75 at the defaults — asserted in tests)
+    return similarity.lsh_topk(qs, e, k=5)
 
 
 @q("q76b-ann-ivf")  # approximate (k-means index) → rows-only check
@@ -233,7 +233,7 @@ def q76b(spark, sf):
     multi-probe queries, exact refine; recall vs q75 asserted in tests."""
     e = T(spark, sf, "embeddings")
     qs = e.filter(F.col("vec_id") % 25 == 0)
-    return similarity.ivf_topk(qs, e, k=5, n_centroids=16, n_probe=4)
+    return similarity.ivf_topk(qs, e, k=5)
 
 
 @q("q76c-ann-pq")  # approximate (quantized codes) → rows-only check

@@ -520,6 +520,7 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 40,
+    hash_keys: bool = False,
 ) -> DataFrame:
     """Test-set DECONTAMINATION — the training-pipeline op that flags corpus
     documents overlapping an evaluation/benchmark set: a doc is contaminated
@@ -531,20 +532,27 @@ def decontaminate(
     most) → their distinct shingle set BROADCASTS, and the corpus side is a
     single projection + explode feeding the broadcast semi-join — the corpus
     never shuffles; the only exchange is the per-doc hit count keyed on the
-    (small) contaminated subset. In production hash the shingles to int64
-    (xxhash64) so the broadcast and probe carry 8-byte keys; the raw-string
-    variant here keeps the operator portable to the DuckDB oracle verbatim."""
+    (small) contaminated subset.
+
+    `hash_keys=True` is the PRODUCTION wire format: shingles hash to int64
+    via xxhash64 before the broadcast + probe, so both carry 8-byte keys
+    instead of n-char strings (~5× smaller for n=40). Join semantics are
+    identical up to xxhash64 collisions (~2^-64 per pair — immaterial; the
+    equality of both paths on the harness corpus is test-pinned). The
+    string path (default) stays because the q100 DuckDB oracle compares
+    raw shingles — DuckDB has no xxhash64."""
     # _spread: the CPU-bound shingle projection otherwise runs single-
     # threaded off a small-file scan (CLAUDE.md invariant); shingle_col is
-    # distinct=True already — no second distinct pass needed
+    # distinct=True already — no second distinct pass needed.
+    # Closure-factory lambda per the repo HOF invariant (a second defaulted
+    # param would bind the array index).
+    sh = shingle_col(text_col, n)
+    key = F.transform(sh, lambda s: F.xxhash64(s)) if hash_keys else sh
     c = _spread(corpus.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
-        F.explode(shingle_col(text_col, n)).alias("sh"),
+        F.explode(key).alias("sh"),
     )
-    b = (
-        benchmark.select(F.explode(shingle_col(text_col, n)).alias("sh"))
-        .distinct()
-    )
+    b = benchmark.select(F.explode(key).alias("sh")).distinct()
     return (
         c.join(F.broadcast(b), "sh")
         .groupBy(id_col)

@@ -98,6 +98,14 @@ def with_s2_cell_native(
     variant remains for parity testing."""
     steps = cells.s2_cell_sql_steps(lat, lon, level, "spark")
     tmp = [name for name, _ in steps if name != "cell_s2"]
+    # the fixed _s2* step names are written-then-dropped: an input column
+    # with one of those names would be silently clobbered and removed
+    clash = set(tmp) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"with_s2_cell_native: input columns collide with its internal "
+            f"step names {sorted(clash)}; rename them first"
+        )
     for name, expr in steps:
         df = df.withColumn(name if name != "cell_s2" else out, F.expr(expr))
     return df.drop(*tmp)

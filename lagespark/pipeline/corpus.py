@@ -141,8 +141,11 @@ def run(args) -> dict:
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = kept.filter(F.col("doc_id") % 97 != 0)
     def _build_decon():
+        # hash_keys: production wire format — the broadcast + probe carry
+        # 8-byte xxhash64 keys instead of raw 20-char shingle strings
         contaminated = dedup.decontaminate(
-            corpus, bench, id_col="doc_id", text_col="text", n=args.decon_ngram
+            corpus, bench, id_col="doc_id", text_col="text",
+            n=args.decon_ngram, hash_keys=True,
         ).select("doc_id")
         return corpus.join(contaminated, "doc_id", "left_anti")
 

@@ -94,17 +94,19 @@ def test_av_frame_sampling(spark):
 
 
 def test_ann_lsh_recall(spark):
-    """LSH top-k recall vs exact brute force (approximate scale path)."""
+    """LSH top-k recall vs exact brute force at DEFAULT parameters — the
+    production floor: the near-uniform harness embeddings are sign-LSH's
+    hardest case, and the defaults must still clear 0.8 (measured 0.89)."""
     from lagespark.operators import similarity
 
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     qs = e.filter(F.col("vec_id") % 25 == 0)
     exact = similarity.cosine_topk(qs, e, k=5).toPandas()
-    approx = similarity.lsh_topk(qs, e, k=5, planes=3, tables=4).toPandas()
+    approx = similarity.lsh_topk(qs, e, k=5).toPandas()
     ex = {(r.qid, r.nn_id) for r in exact.itertuples()}
     ap = {(r.qid, r.nn_id) for r in approx.itertuples()}
     recall = len(ex & ap) / len(ex)
-    assert recall >= 0.5, f"LSH recall {recall:.2f} below multi-table floor"
+    assert recall >= 0.8, f"LSH recall {recall:.2f} below production floor"
 
 
 def test_tile_chain_roundtrip(spark, images):
@@ -132,17 +134,18 @@ def test_tile_chain_roundtrip(spark, images):
 
 
 def test_ann_ivf_recall(spark):
-    """IVF top-k recall vs exact brute force."""
+    """IVF top-k recall vs exact brute force at DEFAULT parameters — the
+    production floor (measured 0.90 on the harness embeddings)."""
     from lagespark.operators import similarity
 
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     qs = e.filter(F.col("vec_id") % 25 == 0)
     exact = similarity.cosine_topk(qs, e, k=5).toPandas()
-    approx = similarity.ivf_topk(qs, e, k=5, n_centroids=16, n_probe=4).toPandas()
+    approx = similarity.ivf_topk(qs, e, k=5).toPandas()
     ex = {(r.qid, r.nn_id) for r in exact.itertuples()}
     ap = {(r.qid, r.nn_id) for r in approx.itertuples()}
     recall = len(ex & ap) / len(ex)
-    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+    assert recall >= 0.8, f"IVF recall {recall:.2f} below production floor"
 
 
 def test_ann_pq_recall(spark):

@@ -3,7 +3,9 @@
 - pq_topk guards the query-set size BEFORE the driver-side collect and
   derives its mapInPandas schema from the actual id dtypes
 - pq_topk / ivf_topk codebook training draws a seeded sample through a
-  Sample node (scan pruning at scale) and stays deterministic
+  deterministic pmod(xxhash64) filter predicate (scan pruning at scale,
+  independent of partition layout — deliberately NOT a Catalyst Sample
+  node, whose per-partition seeding would tie the draw to layout)
 - empty-input guards: pq_topk dim probe, _train_sample_pdf, knn_auto_cell_size
 - feature_cover_pdf covers are CONTAINMENT-conservative: boundary-aligned
   zero-width cells stay in the cover on both the rect fast path and the
@@ -276,6 +278,24 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_hashed_keys_match_string_path(spark):
+    """hash_keys=True (production 8-byte xxhash64 wire format, used by the
+    corpus pipeline) returns exactly the string path's result on the
+    harness corpus — same contaminated ids, same per-doc hit counts."""
+    from pyspark.sql import functions as F
+
+    from lagespark.operators import dedup
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    s = dedup.decontaminate(corpus, bench, n=20).toPandas()
+    h = dedup.decontaminate(corpus, bench, n=20, hash_keys=True).toPandas()
+    key = lambda pdf: pdf.sort_values("doc_id").reset_index(drop=True)
+    assert key(s).equals(key(h))
+    assert len(s) > 0  # the harness corpus really has contaminated docs
 
 
 def test_doc_pack_invariants(spark):

@@ -289,6 +289,39 @@ def run_dedup(spark, n: int, parts: int) -> None:
     assert res[0]["pairs"] > 0
 
 
+_CORPUS_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def run_corpus(spark, n: int, parts: int) -> None:
+    """END-TO-END training-corpus pipeline (clean → dedup → decon → mix →
+    pack) over the sf0.1 documents table — the scaling row for the four
+    round-4 pipeline operators (q100-q103). This is literally
+    pipeline/corpus.run(): every stage goes through the real
+    manifest/parquet write path (hashed decontamination, (lang, bucket)
+    pack shard), so the measurement includes the exchanges AND the stage
+    materialization I/O a production pipeline pays. Fresh throwaway output
+    dir per run (no resume short-circuit); `n` must equal the source row
+    count so rows/sec is input docs per second."""
+    import shutil
+    import tempfile
+
+    from lagespark.pipeline import corpus
+
+    out = tempfile.mkdtemp(prefix="lagespark_scale_corpus_")
+    try:
+        args = corpus.build_parser().parse_args(
+            ["--out", out, "--sf-dir", _CORPUS_SF_DIR]
+        )
+        stats = corpus.run(args)
+        assert stats["input_docs"] == n, (
+            f"--n-corpus {n} != source rows {stats['input_docs']} "
+            "(rows/sec would be wrong)"
+        )
+        assert stats["packed_docs"] > 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _cal_worker(args):
     """Pure-numpy slice of the spatial kernel (no Spark, no IPC): measures
     raw per-core compute throughput while P sibling processes keep P cores
@@ -357,6 +390,7 @@ JOBS = {
     "image": run_image,
     "overlay": run_overlay,
     "dedup": run_dedup,
+    "corpus": run_corpus,
 }
 
 
@@ -386,6 +420,7 @@ def main():
     ap.add_argument("--n-image", type=int, default=40_000)
     ap.add_argument("--n-overlay", type=int, default=60_000)
     ap.add_argument("--n-dedup", type=int, default=60_000)
+    ap.add_argument("--n-corpus", type=int, default=5_000)  # sf0.1 doc count
     ap.add_argument("--sizes", default="2,8")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--jobs", default="spatial,image,overlay,dedup")

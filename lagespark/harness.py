@@ -1234,7 +1234,17 @@ def q86(spark, sf):
 def q57(spark, sf):
     """S2 cell encode + aggregate — PURE-CATALYST (whole-stage codegen, no
     Python worker): round 4 replaced the pandas-UDF encode with the native
-    step chain, which doubles as the DuckDB oracle."""
+    step chain, which doubles as the DuckDB oracle.
+
+    Precision contract (ADVICE r4): the oracle relies on JVM and DuckDB
+    libm COS/SIN agreeing on the replayed double-op order; a point whose
+    projected st value lands within ~1 ulp of a 1/2^15 lattice line could
+    floor to different cells across libm builds (~1e-11 per point — zero
+    observed on sf ≤ 0.1; the cross-face fuzz parity test in
+    test_kernels_cells.py stays in CI as the tripwire). Before running the
+    full-precision hash gate at sf ≥ 1 (~10^7+ points), either snap st
+    values half an ulp off lattice boundaries inside s2_cell_sql_steps on
+    BOTH dialects, or accept a documented ≤ n·1e-11 row-flip tolerance."""
     pts = points_df(spark, sf)
     lonlat = pts.select(
         "pid",

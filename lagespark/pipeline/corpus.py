@@ -79,7 +79,12 @@ def run(args) -> dict:
     spark = get_spark(args.master, app_name="lagespark-corpus")
     spark.sparkContext.setLogLevel("WARN")
 
-    docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
+    # _spread: the clean stage's langid/quality expressions are CPU-bound
+    # native work — a small-file scan is ONE partition and would run them
+    # single-threaded (CLAUDE.md invariant; no-op once the scan is wide)
+    docs = dedup._spread(
+        spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
+    )
 
     def stage(df_builder, out_dir, name, inputs):
         """Build + write the stage, or — on resume with a complete manifest

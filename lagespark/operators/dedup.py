@@ -209,20 +209,35 @@ def minhash_pairs_fast(
     one codegen projection per document, no shingle-row explosion and no
     groupBy shuffle; the only shuffle in the whole operator is the (band,
     band_key) bucket groupBy, whose keys are uniform int64."""
-    def _perm(p: int):
-        # one-parameter lambda via closure factory (see minhash_signature)
-        return lambda s: F.xxhash64(F.lit(p), s)
-
     # null/empty-shingle filter — same rationale as minhash_signature
     sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), shingle_col(text_col, n, distinct=False).alias("shs")
     ).filter(F.size("shs") > 0)
+    # ONE aggregate pass with a `perms`-field struct accumulator instead of
+    # `perms` separate transform+array_min projections: the latter
+    # materializes `perms` derived long arrays per document (allocation/GC
+    # churn that grows with doc length); the fold keeps O(1) state per row
+    # and visits each shingle once. Bit-identical mins (same xxhash64 over
+    # the same multiset — verified by checksum on the harness corpus);
+    # measured 1.5x on the sf0.1 signature projection. Lambda arity is the
+    # DECLARED (acc, s) for aggregate's merge — the repo HOF invariant.
+    init = F.struct(
+        *[F.lit(2**63 - 1).cast("long").alias(f"m{p}") for p in range(perms)]
+    )
+
+    def _merge(acc, s):
+        return F.struct(
+            *[
+                F.least(acc[f"m{p}"], F.xxhash64(F.lit(p), s)).alias(f"m{p}")
+                for p in range(perms)
+            ]
+        )
+
     sig = sh.select(
+        F.col(id_col), F.aggregate("shs", init, _merge).alias("_mh")
+    ).select(
         F.col(id_col),
-        *[
-            F.array_min(F.transform(F.col("shs"), _perm(p))).alias(f"mh{p}")
-            for p in range(perms)
-        ],
+        *[F.col(f"_mh.m{p}").alias(f"mh{p}") for p in range(perms)],
     )
     bands = perms // band_rows
     band_keys = F.array(

@@ -71,17 +71,49 @@ def token_count_bpeish_expr(col: str, dialect: str) -> str:
     return f"CAST(len(regexp_extract_all({col}, '{BPE_ISH_RE}')) AS INT)"
 
 
+# ASCII chars outside the kept alphabet, for translate()-based stripping.
+# The printable ones ride a plain literal; quote (39), backslash (92) and
+# the control range go through chr() — Spark string literals process
+# backslash escapes while DuckDB's are raw, so keeping BOTH dialects on
+# chr() for those bytes sidesteps the escaping gap entirely.
+_PUNCT_SAFE = "".join(
+    chr(c)
+    for c in range(33, 127)
+    if not (chr(c).isalnum() or c in (39, 92))
+)
+_PUNCT_CHR = [39, 92, 127] + list(range(1, 32))
+
+
+def _strip_chars_exprs(keep_upper: bool) -> tuple[str, int]:
+    """(from_chars_sql, n_chars) for translate(): every ASCII char outside
+    [a-z0-9 ] (plus A-Z when keep_upper=False it is stripped too). The SQL
+    text is dialect-portable (concat + chr exist in both engines)."""
+    extra = "" if keep_upper else "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    lit = (_PUNCT_SAFE + extra).replace("'", "")
+    chrs = ", ".join(f"chr({c})" for c in _PUNCT_CHR)
+    n = len(lit) + len(_PUNCT_CHR)
+    return f"concat('{lit}', {chrs})", n
+
+
 def quality_exprs(col: str, dialect: str) -> dict[str, str]:
     """Quality signals: length, punctuation ratio, stopword ratio, mean word
-    length — the usual pretraining-corpus filters."""
+    length — the usual pretraining-corpus filters.
+
+    The punct count is translate()-delete arithmetic, not a regex: in this
+    Spark build regexp evaluation serializes across executor threads (wall
+    time is invariant to partition count — measured in round 5), so a regex
+    here caps the whole clean stage at single-core speed. translate scans
+    the listed ASCII set linearly and scales; non-ASCII codepoints are not
+    counted as punctuation (ASCII corpus contract, same note as
+    normalize_expr)."""
     toks = _split(dialect, col)
     n_tok = _size(dialect, toks)
     stop = ", ".join(f"'{w}'" for ws in LANG_MARKERS.values() for w in ws)
     n_stop = _size(dialect, _list_filter(dialect, toks, f"w -> w IN ({stop})"))
-    if dialect == "spark":
-        n_punct = f"size(regexp_extract_all({col}, '[^A-Za-z0-9 ]', 0))"
-    else:
-        n_punct = f"CAST(len(regexp_extract_all({col}, '[^A-Za-z0-9 ]')) AS INT)"
+    frm, _n = _strip_chars_exprs(keep_upper=True)
+    n_punct = (
+        f"CAST(length({col}) - length(translate({col}, {frm}, '')) AS INT)"
+    )
     return {
         "n_chars_txt": (
             f"length({col})" if dialect == "spark"
@@ -97,12 +129,33 @@ def quality_exprs(col: str, dialect: str) -> dict[str, str]:
 
 def normalize_expr(col: str, dialect: str) -> str:
     """Corpus text normalization (the standard pre-dedup cleanup): lowercase,
-    strip non-alphanumerics to spaces, collapse runs, trim. Patterns stay in
-    the RE2∩Java-regex common subset; DuckDB needs the explicit 'g' option
-    (its regexp_replace is first-match by default, Spark's is global)."""
-    g = ", 'g'" if dialect == "duckdb" else ""
-    inner = f"regexp_replace(lower({col}), '[^a-z0-9 ]', ' '{g})"
-    return f"trim(regexp_replace({inner}, '  *', ' '{g}))"
+    strip ASCII non-alphanumerics to spaces, collapse runs, trim.
+
+    REGEX-FREE by design (round 5): the obvious two-regexp_replace form is
+    correct but in this Spark build regexp execution serializes across
+    executor threads — wall time for a regex projection is invariant to
+    partition count, so the clean stage of a corpus pipeline runs at
+    single-core speed no matter the cluster size. translate() + split +
+    filter + join compute the identical result (punct chars → space via a
+    chr()-built mapping, empty tokens dropped = run collapse + trim) about
+    10× faster per core AND parallel. Contract note: the stripped set is
+    the ASCII range (the harness corpus alphabet); non-ASCII codepoints
+    pass through instead of being spaced — both dialects agree either way
+    because they run the same translate list."""
+    frm, n = _strip_chars_exprs(keep_upper=True)
+    to = f"repeat(' ', {n})"
+    inner = f"translate(lower({col}), {frm}, {to})"
+    if dialect == "spark":
+        body = f"array_join(filter(split({inner}, ' '), w -> w != ''), ' ')"
+    else:
+        body = (
+            f"array_to_string(list_filter(string_split({inner}, ' '), "
+            "w -> w != ''), ' ')"
+        )
+    # empty-input guard: DuckDB's split/join chain returns NULL for '' where
+    # Spark returns '' — pin both dialects to the old regex semantics
+    # ('' → '', NULL → NULL)
+    return f"(CASE WHEN {col} IS NULL THEN NULL ELSE coalesce({body}, '') END)"
 
 
 def sample_hash_expr(col: str, dialect: str, rate_hex4: str = "2000", seed: str = "s1") -> str:

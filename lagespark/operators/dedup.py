@@ -106,30 +106,45 @@ def minhash_signature(
     the same distinct shingle set)."""
     assert perms <= 9
 
-    def _window(p: int):
-        # closure factory: the lambda must take EXACTLY one parameter —
-        # a second (even defaulted) parameter makes PySpark bind it to the
-        # array INDEX, silently corrupting the permutation
-        return lambda h: F.substring(h, 2 * p + 1, 15)
-
-    # drop docs with null/empty shingle sets: array_min over an empty/null
-    # array is NULL, and concat_ws/xxhash64 skip nulls — without this filter
-    # every null-text doc would share identical band keys in ALL bands and
-    # emit as a candidate pair with every other null-text doc. The DuckDB
-    # oracle's unnest drops these rows naturally, so the filter also keeps
-    # the dialects aligned. size(NULL) = -1, so > 0 covers both cases.
+    # drop docs with null/empty shingle sets: a fold over an empty/null
+    # array would keep the sentinel, and concat_ws/xxhash64 skip nulls —
+    # without this filter every null-text doc would share identical band
+    # keys in ALL bands and emit as a candidate pair with every other
+    # null-text doc. The DuckDB oracle's unnest drops these rows naturally,
+    # so the filter also keeps the dialects aligned. size(NULL) = -1, so
+    # > 0 covers both cases.
     sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), shingle_col(text_col, n, distinct=False).alias("shs")
     ).filter(F.size("shs") > 0)
     hs = sh.select(
         F.col(id_col), F.transform(F.col("shs"), lambda s: F.md5(s)).alias("hs")
     )
+    # ONE aggregate fold with a struct-of-mins accumulator instead of
+    # perms×(transform + array_min) — avoids materializing `perms` derived
+    # substring arrays per document (same rationale as minhash_pairs_fast;
+    # bit-identical mins). The 'g'*15 sentinel sorts after every
+    # 15-hex-char window ('f' < 'g'), and the size>0 filter above
+    # guarantees the fold always replaces it. Lambda arity is the declared
+    # (acc, h) for aggregate's merge (repo HOF invariant).
+    init = F.struct(
+        *[F.lit("g" * 15).alias(f"m{p}") for p in range(perms)]
+    )
+
+    def _merge(acc, h):
+        return F.struct(
+            *[
+                F.least(acc[f"m{p}"], F.substring(h, 2 * p + 1, 15)).alias(
+                    f"m{p}"
+                )
+                for p in range(perms)
+            ]
+        )
+
     return hs.select(
+        F.col(id_col), F.aggregate("hs", init, _merge).alias("_mh")
+    ).select(
         F.col(id_col),
-        *[
-            F.array_min(F.transform(F.col("hs"), _window(p))).alias(f"mh{p}")
-            for p in range(perms)
-        ],
+        *[F.col(f"_mh.m{p}").alias(f"mh{p}") for p in range(perms)],
     )
 
 

@@ -45,8 +45,13 @@ print(json.dumps({"q68_sec": round(time.perf_counter() - t0, 3)}))
 def one_run(repo: str, cpus: int) -> float:
     out = subprocess.run(
         [sys.executable, "-c", _RUNNER, repo, str(cpus)],
-        capture_output=True, text=True, check=True,
+        capture_output=True, text=True,
     )
+    if out.returncode != 0:
+        # surface the subprocess traceback — a bare CalledProcessError would
+        # discard the only diagnostic this long idle-box run produces
+        sys.stderr.write(out.stderr)
+        raise RuntimeError(f"run in {repo} failed (rc={out.returncode})")
     return json.loads(out.stdout.strip().splitlines()[-1])["q68_sec"]
 
 

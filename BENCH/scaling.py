@@ -298,18 +298,23 @@ def _corpus_src(spark, n: int, parts: int) -> str:
     plus a tripled language marker word keyed on doc_id % 4, so langid
     assigns four real language strata and the mix + (lang, bucket) pack
     stages exercise their actual per-language machinery."""
-    path = f"/tmp/lagespark_scale_corpus_src_{n}"
+    # the generator VERSION is part of the cache key: editing _docs or the
+    # marker logic must invalidate the /tmp cache, and a killed run's
+    # partial dir (no _SUCCESS) must regenerate rather than be served
+    path = f"/tmp/lagespark_scale_corpus_src_v2_{n}"
     dest = os.path.join(path, "documents.parquet")
-    marker = F.element_at(
-        F.array(F.lit("the"), F.lit("der"), F.lit("le"), F.lit("el")),
-        (F.col("doc_id") % 4 + 1).cast("int"),
-    )
-    d = _docs(spark, n, parts).select(
-        "doc_id",
-        F.concat_ws(" ", marker, marker, marker, F.col("text")).alias("text"),
-    )
-    # mode("ignore"): first caller writes, every later run/level reuses
-    d.write.mode("ignore").parquet(dest)
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        marker = F.element_at(
+            F.array(F.lit("the"), F.lit("der"), F.lit("le"), F.lit("el")),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        )
+        d = _docs(spark, n, parts).select(
+            "doc_id",
+            F.concat_ws(" ", marker, marker, marker, F.col("text")).alias(
+                "text"
+            ),
+        )
+        d.write.mode("overwrite").parquet(dest)
     return path
 
 

@@ -84,15 +84,14 @@ _PUNCT_SAFE = "".join(
 _PUNCT_CHR = [39, 92, 127] + list(range(1, 32))
 
 
-def _strip_chars_exprs(keep_upper: bool) -> tuple[str, int]:
+def _strip_chars_exprs() -> tuple[str, int]:
     """(from_chars_sql, n_chars) for translate(): every ASCII char outside
-    [a-z0-9 ] (plus A-Z when keep_upper=False it is stripped too). The SQL
-    text is dialect-portable (concat + chr exist in both engines)."""
-    extra = "" if keep_upper else "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
-    lit = (_PUNCT_SAFE + extra).replace("'", "")
+    [A-Za-z0-9 ]. The SQL text is dialect-portable (concat + chr exist in
+    both engines). Callers that also need uppercase stripped apply lower()
+    to the INPUT first (normalize_expr does)."""
     chrs = ", ".join(f"chr({c})" for c in _PUNCT_CHR)
-    n = len(lit) + len(_PUNCT_CHR)
-    return f"concat('{lit}', {chrs})", n
+    n = len(_PUNCT_SAFE) + len(_PUNCT_CHR)
+    return f"concat('{_PUNCT_SAFE}', {chrs})", n
 
 
 def quality_exprs(col: str, dialect: str) -> dict[str, str]:
@@ -110,7 +109,7 @@ def quality_exprs(col: str, dialect: str) -> dict[str, str]:
     n_tok = _size(dialect, toks)
     stop = ", ".join(f"'{w}'" for ws in LANG_MARKERS.values() for w in ws)
     n_stop = _size(dialect, _list_filter(dialect, toks, f"w -> w IN ({stop})"))
-    frm, _n = _strip_chars_exprs(keep_upper=True)
+    frm, _n = _strip_chars_exprs()
     n_punct = (
         f"CAST(length({col}) - length(translate({col}, {frm}, '')) AS INT)"
     )
@@ -142,7 +141,7 @@ def normalize_expr(col: str, dialect: str) -> str:
     the ASCII range (the harness corpus alphabet); non-ASCII codepoints
     pass through instead of being spaced — both dialects agree either way
     because they run the same translate list."""
-    frm, n = _strip_chars_exprs(keep_upper=True)
+    frm, n = _strip_chars_exprs()
     to = f"repeat(' ', {n})"
     inner = f"translate(lower({col}), {frm}, {to})"
     if dialect == "spark":

@@ -83,8 +83,19 @@ def run(args) -> dict:
     from lagespark.pipeline import manifest
     from lagespark.session import get_spark
 
-    spark = get_spark(args.master, app_name="lagespark-corpus")
-    spark.sparkContext.setLogLevel("WARN")
+    from pyspark.sql import SparkSession
+
+    # reuse an ACTIVE session untouched (embedded use: bench/scaling drive
+    # this from an already-configured per-level session, and getOrCreate
+    # would apply the builder's options TO that session — silently resetting
+    # spark.sql.shuffle.partitions and the log level mid-benchmark); only a
+    # standalone CLI invocation builds its own
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        spark = active
+    else:
+        spark = get_spark(args.master, app_name="lagespark-corpus")
+        spark.sparkContext.setLogLevel("WARN")
 
     # _spread: the clean stage's langid/quality expressions are CPU-bound
     # native work — a small-file scan is ONE partition and would run them

@@ -448,12 +448,18 @@ def duplicate_components(
     diameter halves each round), so the count action only fires every
     `check_every` rounds — the uncounted rounds stay fully lazy and
     materialize inside the next counted round's single job."""
+    # single-execution guard (the repo's two-union-branch invariant): the
+    # forward/reverse edge projections below prune differently, so WITHOUT
+    # this checkpoint the upstream pair-generation plan (LSH + exact
+    # Jaccard — the expensive part) executes TWICE inside the edges job
+    # (measured 15.1 s vs 10.0 s for one pairs pass at 240k docs)
+    pairs = pairs.localCheckpoint(eager=True)
     edges = (
         pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionByName(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .distinct()
-        # checkpoint the edge list: the upstream pair-generation plan (LSH /
-        # Jaccard) is expensive and must not re-execute inside every round
+        # checkpoint the edge list too: it feeds every round and lineage
+        # must stay truncated across iterations
         .localCheckpoint(eager=True)
     )
     labels = (

@@ -250,22 +250,26 @@ def _vocab_words() -> list[str]:
     return ["".join(_ALPHABET[c] for c in row) for row in arr]
 
 
-def _docs(spark, n: int, parts: int):
+def _docs(spark, n: int, parts: int, dup_every: int = 10):
     """n deterministic documents (~40 words over a 4000-word vocab); every
-    10th doc near-duplicates its predecessor (2 words changed) so the LSH
-    banding has real positives to surface."""
+    `dup_every`-th doc near-duplicates its predecessor (2 words changed) so
+    the LSH banding has real positives to surface. dup_every=10 (46% of all
+    LSH candidates are true dups on the harness corpus) stresses the refine;
+    dup_every=1000 is the REALISTIC ~0.1% near-dup density a web-scale
+    sweep sees, where candidate volume — hence runtime — must be LSH-bound,
+    not refine-bound (VERDICT r5 #8)."""
     voc = _vocab_words()
 
     def gen(batches):
         for pdf in batches:
             ids = pdf["id"].to_numpy()
-            base = np.where(ids % 10 == 9, ids - 1, ids)
+            base = np.where(ids % dup_every == dup_every - 1, ids - 1, ids)
             cols = [
                 (_u01(base * np.int64(_DOC_WORDS) + j, 77) * _VOCAB).astype(np.int64)
                 for j in range(_DOC_WORDS)
             ]
             # near-dup rows differ from their base in the last 2 words
-            edit = ids % 10 == 9
+            edit = ids % dup_every == dup_every - 1
             for j in (_DOC_WORDS - 2, _DOC_WORDS - 1):
                 cols[j] = np.where(
                     edit,
@@ -287,6 +291,26 @@ def run_dedup(spark, n: int, parts: int) -> None:
     pairs = dedup.minhash_pairs_fast(_docs(spark, n, parts), perms=8, band_rows=2, n=3)
     res = pairs.agg(F.count(F.lit(1)).alias("pairs")).collect()
     assert res[0]["pairs"] > 0
+
+
+def run_refine(spark, n: int, parts: int) -> None:
+    """q71b-shaped PRODUCTION dedup combo (LSH candidates → exact hashed
+    n-gram Jaccard refine) at REALISTIC near-dup density (~0.1%: one
+    injected near-dup per 1000 docs). The registry's q71b bench row runs on
+    the 46%-dup-density harness corpus, which is pair-volume-bound in the
+    refine; a web-scale sweep is the opposite — candidates are rare, the
+    linear signature/shingle projections dominate, and THAT regime is what
+    must scale (VERDICT r5 #8)."""
+    from lagespark.operators import dedup
+
+    pairs = dedup.minhash_jaccard_pairs(
+        _docs(spark, n, parts, dup_every=1000),
+        perms=8, band_rows=2, n=3, threshold=0.8,
+    )
+    res = pairs.agg(F.count(F.lit(1)).alias("pairs")).collect()
+    # injected dups differ in 2/40 words → shingle Jaccard >> 0.8; expect
+    # roughly n/1000 true pairs (LSH recall < 1 allows some misses)
+    assert res[0]["pairs"] >= n // 2000, res[0]["pairs"]
 
 
 def _corpus_src(spark, n: int, parts: int) -> str:
@@ -346,8 +370,15 @@ def run_corpus(spark, n: int, parts: int) -> None:
         stats = corpus.run(args)
         assert stats["input_docs"] == n
         assert stats["packed_docs"] > 0
+        # per-stage wall times (VERDICT r5 #2): bench_at publishes the
+        # per-level medians so sublinear end-to-end efficiency is
+        # attributable to a named stage instead of guessed at
+        CORPUS_STAGE_RUNS.append(stats["stage_sec"])
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+CORPUS_STAGE_RUNS: list[dict] = []
 
 
 def _cal_worker(args):
@@ -418,6 +449,7 @@ JOBS = {
     "image": run_image,
     "overlay": run_overlay,
     "dedup": run_dedup,
+    "refine": run_refine,
     "corpus": run_corpus,
 }
 
@@ -434,10 +466,17 @@ def bench_at(cores: int, sizes: dict[str, int], runs: int) -> dict:
         # warm-up at FULL size (excluded): JVM JIT + Python worker imports +
         # allocator growth all land here instead of the first timed run
         fn(spark, n, parts)
+        if job == "corpus":
+            CORPUS_STAGE_RUNS.clear()  # drop the warm-up run's stage split
         t = timed(lambda: fn(spark, n, parts), runs)
         out[f"{job}_sec_runs"] = [round(v, 2) for v in t]
         out[f"{job}_sec"] = round(statistics.median(t), 3)
         out[f"{job}_rows_per_sec"] = round(n / statistics.median(t))
+        if job == "corpus" and CORPUS_STAGE_RUNS:
+            out["corpus_stage_sec"] = {
+                k: round(statistics.median([r[k] for r in CORPUS_STAGE_RUNS]), 2)
+                for k in CORPUS_STAGE_RUNS[0]
+            }
     spark.stop()
     return out
 
@@ -448,6 +487,7 @@ def main():
     ap.add_argument("--n-image", type=int, default=40_000)
     ap.add_argument("--n-overlay", type=int, default=60_000)
     ap.add_argument("--n-dedup", type=int, default=60_000)
+    ap.add_argument("--n-refine", type=int, default=240_000)
     ap.add_argument("--n-corpus", type=int, default=60_000)
     ap.add_argument("--sizes", default="2,8")
     ap.add_argument("--runs", type=int, default=3)

@@ -58,78 +58,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness sweep is budget-capped at ~50 queries and walks
-# queries() in iteration order. Union of rounds 1-4 driver-touched all 101
-# then-registered queries (80 oracled all-true + 21 rows-only executed).
-# Round-5 rotation (the final one): the four round-4 registrations that
-# landed after the frozen r4 window — q100-q103, the ONLY queries with no
-# driver row ever — go first, then q67 (last driver-checked r2), then the
-# 50 queries last checked in r3, staleness-refresh. 55 entries vs a
-# ~50-slot budget: the LAST five are placed there deliberately — q18-cross
-# / q01-project / q02-filter are trivial single-operator plans (pytest +
-# three prior all-true driver rows each), q91-stream-slide shares
-# streaming/ops.py's bucketing machinery with in-window q90, and
-# q59b-geo-tile-rect shares operators/tile.py with r4-evidenced q59.
-# ONE deliberate edit per round; otherwise FROZEN.
+# queries() in iteration order. Union of rounds 1-5 driver-touched all 105
+# registered queries (84 oracled all-true + 21 rows-only executed) — see
+# VERDICT.md r5. Round-6 rotation (ONE deliberate edit per round, otherwise
+# FROZEN): (a) the six queries whose code paths changed this round (S2
+# lattice snap -> q57/q50/q83; q95 single-scan; decontaminate benchmark
+# _spread -> q100; lsh_topk skinny bucket join -> q76) go first so the
+# driver re-proves them; (b) the five r3-stale overflow survivors; (c) the
+# 50-query r4-window set, heavy / rows-only plans first, staleness-refresh.
+# 58 entries vs a ~50-slot budget: the LAST eight are deliberate overflow —
+# q34/q35 (sort/limit), q36/q37/q38 (set ops), q29-pivot, q46-scalar-date2,
+# q47-scalar-map are trivial single-operator plans with pytest coverage and
+# 2+ prior all-true driver rows each.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- 4 round-4 registrations with NO driver row in any round --
-    "q100-decontaminate",
-    "q101-doc-pack",
-    "q102-embed-dedup-corpus",
-    "q103-mix-resample",
-    # -- last driver-checked in r02 --
-    "q67-geo-knn3",
-    # -- last driver-checked in r03: heavy / drift-prone plans first --
-    "q68-geo-overlay-join",
-    "q69-geo-knn-points",
-    "q72-dedup-minhash-lsh",
-    "q70-dedup-exact",
-    "q71-dedup-ngram-jaccard",
-    "q73-dedup-simhash",
-    "q82b-dedup-simhash-pairs",
-    "q81-dedup-components",
-    "q96-dedup-corpus",
-    "q74-dedup-embed-cosine",
-    "q75-ann-topk",
-    "q77-text-langid",
-    "q78-text-quality",
-    "q79-text-tokens",
-    "q80-text-fingerprint",
-    "q97-sample-hash",
-    "q98-text-normalize",
-    "q99-corpus-stats",
-    "q82-geo-intersects-ri",
+    # -- round-6 code-touched: re-prove first --
+    "q57-geo-s2cell",
+    "q50-geo-cell",
     "q83-geo-pip-s2",
-    "q84-geo-range-rollup",
-    "q86-geo-within-dist",
-    "q90-stream-tumble",
-    "q92-stream-session",
-    "q93-stream-geo",
-    "q94-stream-stream-join",
     "q95-spatiotemporal-rollup",
-    "q10-join-inner",
-    "q11-join-left",
-    "q12-join-semi",
-    "q13-join-anti",
-    "q14-join-bcast",
-    "q15-join-theta",
-    "q16-join-range",
-    "q17-join-asof",
-    "q19-multi-join",
-    "q48-subquery-correlated",
-    "q20-agg-basic",
-    "q21-agg-distinct",
-    "q23-rollup",
-    "q24-cube",
-    "q25-gsets",
-    "q26-percentile",
-    "q03-bbox-filter",
-    "q04-exact-pred",
-    # -- deliberate overflow candidates (see block comment) --
+    "q100-decontaminate",
+    "q76-ann-lsh",
+    # -- last driver-checked in r03 (r5 overflow) --
     "q59b-geo-tile-rect",
     "q91-stream-slide",
     "q02-filter",
     "q01-project",
     "q18-cross",
+    # -- last driver-checked in r04: heavy / rows-only plans first --
+    "q72b-dedup-minhash-fast",
+    "q71b-dedup-lsh-jaccard",
+    "q74b-dedup-embed-cosine-lsh",
+    "q76b-ann-ivf",
+    "q76c-ann-pq",
+    "q55-geo-score",
+    "q54-geo-knn",
+    "q51-geo-pip",
+    "q52-geo-zone",
+    "q53-geo-range-join",
+    "q56-geo-overlay-rect",
+    "q66-geo-salted-join",
+    "q58-geo-overlay-areas",
+    "q59-geo-tile",
+    "q60-img-roundtrip",
+    "q61-img-decode-stats",
+    "q62-img-transcode",
+    "q63-img-resize",
+    "q69-img-tile-chain",
+    "q87-img-arrow-stats",
+    "q85-img-phash-dedup",
+    "q85b-img-dedup-corpus",
+    "q64-multimodal-stub",
+    "q64b-multimodal-frames",
+    "q65-img-geo-join",
+    # -- last driver-checked in r04: relational / scalar --
+    "q27-collect",
+    "q30-rank",
+    "q31-analytic",
+    "q32-frame",
+    "q33-topk-group",
+    "q39-window-extras",
+    "q22-agg-approx",
+    "q28-percentile-approx",
+    "q40-scalar-string",
+    "q41-scalar-date",
+    "q42-scalar-math",
+    "q43-scalar-array",
+    "q44-scalar-json",
+    "q45-scalar-fuzzy",
+    # -- deliberate overflow candidates (see block comment) --
+    "q46-scalar-date2",
+    "q47-scalar-map",
+    "q29-pivot",
+    "q34-sort",
+    "q35-topk",
+    "q36-union",
+    "q37-intersect",
+    "q38-except",
 )
 
 

@@ -1236,15 +1236,14 @@ def q57(spark, sf):
     Python worker): round 4 replaced the pandas-UDF encode with the native
     step chain, which doubles as the DuckDB oracle.
 
-    Precision contract (ADVICE r4): the oracle relies on JVM and DuckDB
-    libm COS/SIN agreeing on the replayed double-op order; a point whose
-    projected st value lands within ~1 ulp of a 1/2^15 lattice line could
-    floor to different cells across libm builds (~1e-11 per point — zero
-    observed on sf ≤ 0.1; the cross-face fuzz parity test in
-    test_kernels_cells.py stays in CI as the tripwire). Before running the
-    full-precision hash gate at sf ≥ 1 (~10^7+ points), either snap st
-    values half an ulp off lattice boundaries inside s2_cell_sql_steps on
-    BOTH dialects, or accept a documented ≤ n·1e-11 row-flip tolerance."""
+    Precision contract (closed round 6): COS/SIN are the only non-
+    correctly-rounded ops in the chain (±1 ulp by libm build). The
+    LATTICE_EPS snap in cells.s2_cell_sql_steps / s2_encode assigns any
+    point whose scaled st value lands within 1e-9 cell-units of a 1/2^15
+    lattice line to round(p) — identically in numpy, the JVM, and DuckDB —
+    so libm disagreement can no longer flip a cell at any sf. The
+    lattice-adjacent three-engine parity test in test_round4_fixes.py pins
+    it."""
     pts = points_df(spark, sf)
     lonlat = pts.select(
         "pid",

@@ -83,13 +83,14 @@ def q95(spark, sf):
     pipeline materializes incrementally."""
     from pyspark.sql import functions as F
 
+    # `ts` threads through zone_of_events' projection — no second scan of
+    # events / self-join on event_id to recover it (round-6 plan fix)
     z = ops.zone_of_events(
-        T(spark, sf, "events").select("event_id", "ts", "event_type", "value")
+        T(spark, sf, "events").select("event_id", "ts", "event_type", "value"),
+        keep=("ts",),
     )
-    e = T(spark, sf, "events").select("event_id", "ts")
-    joined = z.join(e, "event_id")
     return (
-        joined.groupBy(
+        z.groupBy(
             F.unix_micros(
                 F.date_trunc("hour", F.col("ts").cast("timestamp"))
             ).alias("hour_us"),

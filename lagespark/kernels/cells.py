@@ -98,6 +98,26 @@ _FACE_SHIFT = 60
 _LEVEL_SHIFT = 54
 MAX_LEVEL = 26  # 2*26 = 52 morton bits < 54
 
+# Lattice snap tolerance, in CELL units (fraction of one cell edge): a point
+# whose scaled st value p = st·2^level lands within LATTICE_EPS of an integer
+# lattice line is assigned to cell round(p) in EVERY engine (numpy, JVM,
+# DuckDB), instead of floor(p). COS/SIN are the only non-correctly-rounded
+# ops in the encode chain (±1 ulp by libm build), which perturbs p by
+# ~1e-11 at level 15 — far inside this 1e-9 window — so a lattice-adjacent
+# point can no longer floor to different cells across libm builds. 1e-9 of a
+# level-15 cell is ~0.3 µm on the ground: semantically invisible, and the
+# snap arithmetic itself (ABS/ROUND/FLOOR/CASE on doubles) is exact in all
+# three engines.
+LATTICE_EPS = 1e-9
+
+
+def _st_to_i(s: np.ndarray, n: int) -> np.ndarray:
+    """st → clamped cell index with the lattice snap (see LATTICE_EPS)."""
+    p = s * n
+    r = np.rint(p)  # half-mode differs from SQL ROUND only at .5 — outside EPS
+    p = np.where(np.abs(p - r) < LATTICE_EPS, r, np.floor(p))
+    return np.clip(p.astype(np.int64), 0, n - 1)
+
 
 def _lonlat_to_xyz(lat: np.ndarray, lon: np.ndarray):
     phi = np.radians(np.asarray(lat, dtype=np.float64))
@@ -179,8 +199,8 @@ def s2_encode(lat: np.ndarray, lon: np.ndarray, level: int = 15) -> np.ndarray:
     x, y, z = _lonlat_to_xyz(lat, lon)
     face, u, v = _xyz_to_face_uv(x, y, z)
     n = 1 << level
-    i = np.clip((_uv_to_st(u) * n).astype(np.int64), 0, n - 1)
-    j = np.clip((_uv_to_st(v) * n).astype(np.int64), 0, n - 1)
+    i = _st_to_i(_uv_to_st(u), n)
+    j = _st_to_i(_uv_to_st(v), n)
     return (face << _FACE_SHIFT) | (np.int64(level) << _LEVEL_SHIFT) | _interleave(i, j, level)
 
 
@@ -333,8 +353,10 @@ def s2_cell_sql_steps(
     quadratic-projection expression), so +,-,*,/ and SQRT — all IEEE
     correctly-rounded — produce bit-identical doubles across numpy, the
     JVM, and DuckDB. The only cross-engine wiggle is COS/SIN (±1 ulp by
-    libm); a flip requires the projected st value to sit within ~1e-16 of a
-    1/2^level lattice line (~1e-11 per point at level 15).
+    libm); the LATTICE_EPS snap (round-6) absorbs it: scaled st values
+    within 1e-9 of a 1/2^level lattice line round to the line instead of
+    flooring, identically in all three engines, so libm disagreement can no
+    longer flip a lattice-adjacent point into a different cell.
 
     Returns [(column_name, sql_expr), ...]; the last entry is the cell id.
     Integer work (face/level header, bit interleave) is exact in both
@@ -354,7 +376,14 @@ def s2_cell_sql_steps(
         "CASE WHEN {u} >= 0 THEN 0.5 * SQRT(1 + 3 * {u}) "
         "ELSE 1 - 0.5 * SQRT(ABS(1 - 3 * {u})) END"
     )
-    ij = f"LEAST({n - 1}, GREATEST(0, CAST(FLOOR({{s}} * {n}) AS BIGINT)))"
+    # lattice snap (see LATTICE_EPS): ROUND/FLOOR both yield exact
+    # integer-valued doubles, so the BIGINT cast is exact in both dialects
+    # (DuckDB's rounding cast and Spark's truncating cast agree on integers)
+    ij = (
+        f"LEAST({n - 1}, GREATEST(0, CAST("
+        f"CASE WHEN ABS({{p}} - ROUND({{p}})) < {LATTICE_EPS!r} "
+        f"THEN ROUND({{p}}) ELSE FLOOR({{p}}) END AS BIGINT)))"
+    )
     steps = [
         ("_s2phi", f"({lat_expr}) * {rad}"),
         ("_s2lam", f"({lon_expr}) * {rad}"),
@@ -382,8 +411,10 @@ def s2_cell_sql_steps(
         ),
         ("_s2s", st.format(u="_s2u")),
         ("_s2t", st.format(u="_s2v")),
-        ("_s2i", ij.format(s="_s2s")),
-        ("_s2j", ij.format(s="_s2t")),
+        ("_s2ps", f"_s2s * {n}"),
+        ("_s2pt", f"_s2t * {n}"),
+        ("_s2i", ij.format(p="_s2ps")),
+        ("_s2j", ij.format(p="_s2pt")),
     ]
     morton = " | ".join(
         [shl(f"({shr('_s2i', b)} & 1)", 2 * b + 1) for b in range(level)]

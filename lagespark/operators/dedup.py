@@ -588,7 +588,14 @@ def decontaminate(
         F.col(id_col),
         F.explode(key).alias("sh"),
     )
-    b = benchmark.select(F.explode(key).alias("sh")).distinct()
+    # benchmark side gets the same _spread guard: a single-file benchmark
+    # parquet otherwise computes its shingle explode single-threaded (the
+    # corpus-pipeline decon stage reads the benchmark from one file)
+    b = (
+        _spread(benchmark.select(F.col(text_col)))
+        .select(F.explode(key).alias("sh"))
+        .distinct()
+    )
     return (
         c.join(F.broadcast(b), "sh")
         .groupBy(id_col)

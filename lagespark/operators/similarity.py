@@ -567,19 +567,25 @@ def lsh_topk(
             keys.append(val)
         return pd.Series(np.stack(keys, axis=1).tolist())
 
-    q = (
-        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-        .withColumn("bucket", F.explode(sketches(F.col("qv"))))
+    # skinny bucket join (same shape as cosine_pairs_lsh): only (id, bucket)
+    # rides the ×`tables` explosion through the bucket-join shuffle — at scale
+    # the embedding vectors would otherwise be replicated `tables`× on BOTH
+    # sides of the exchange. Vectors join back per candidate pair AFTER the
+    # (qid, nn_id) dedup, one row per pair.
+    qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    tv = targets.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("tv"))
+    qk = qv.withColumn("bucket", F.explode(sketches(F.col("qv")))).select(
+        "qid", "bucket"
     )
-    t = (
-        targets.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("tv"))
-        .withColumn("bucket", F.explode(sketches(F.col("tv"))))
+    tk = tv.withColumn("bucket", F.explode(sketches(F.col("tv")))).select(
+        "nn_id", "bucket"
     )
-    cand = (
-        q.join(t, "bucket")
+    pairs = (
+        qk.join(tk, "bucket")
         .filter(F.col("qid") != F.col("nn_id"))
         .dropDuplicates(["qid", "nn_id"])
     )
+    cand = _repartition_for_kernel(pairs.join(qv, "qid").join(tv, "nn_id"))
 
     @F.pandas_udf(DoubleType())
     def cos(a: pd.Series, b: pd.Series) -> pd.Series:

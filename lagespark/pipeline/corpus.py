@@ -48,8 +48,18 @@ def build_parser() -> argparse.ArgumentParser:
     # operating point for the 0.9 default (r=2 targets J* ≈ 0.5 and
     # generates ~8× the candidates on the template-dense harness corpus,
     # all discarded by the exact refine — measured 14.7 s → 6.6 s for the
-    # pair stage at 8 cores with an IDENTICAL final pair set)
-    p.add_argument("--dedup-band-rows", type=int, default=4)
+    # pair stage at 8 cores with an IDENTICAL final pair set).
+    # At-threshold recall caveat (ADVICE r5): with r=4 the LSH collision
+    # probability AT J=0.9 is ~0.88 (vs ~0.999 for r=2), so borderline
+    # duplicates with J in [0.90, ~0.95] can be missed; near-identical
+    # duplicates (J→1) are still found with probability ~1. Set
+    # --dedup-band-rows 2 when at-threshold recall matters more than the
+    # ~8x candidate volume.
+    p.add_argument(
+        "--dedup-band-rows", type=int, default=4,
+        help="LSH rows per band (default 4: J*~0.84, at-threshold "
+        "J=0.9 recall ~0.88; use 2 for recall ~1 at ~8x candidates)",
+    )
     p.add_argument("--decon-ngram", type=int, default=20)
     p.add_argument("--pack-budget", type=int, default=512)
     p.add_argument("--mix-rates", default="en:4000,de:8000",
@@ -61,7 +71,13 @@ def _fingerprint(path: str) -> str:
     """Cheap content fingerprint of a parquet file/dir: resolved path plus
     every file's (relative name, size, mtime_ns). Changing --sf-dir OR
     regenerating the source data changes the fingerprint, which changes
-    stage 1's inputs and therefore invalidates the manifest-id chain."""
+    stage 1's inputs and therefore invalidates the manifest-id chain.
+
+    Deliberately conservative (ADVICE r5): byte-identical data that was
+    copied, re-downloaded, or touched ALSO invalidates — resume requires
+    the same resolved path with untouched mtimes. That trades spurious
+    rebuilds for never serving a stale chain; hash the parquet footers
+    instead if content-addressed resume is ever needed."""
     import hashlib
 
     path = os.path.abspath(path)
@@ -93,6 +109,17 @@ def run(args) -> dict:
     active = SparkSession.getActiveSession()
     if active is not None:
         spark = active
+        if args.master is not None:
+            # ADVICE r5: make a mismatched --master visible — the active
+            # session wins and its master may differ from what was requested
+            import warnings
+
+            warnings.warn(
+                f"corpus.run: reusing ACTIVE SparkSession "
+                f"(master={spark.sparkContext.master!r}); --master "
+                f"{args.master!r} and the WARN log-level set are IGNORED",
+                stacklevel=2,
+            )
     else:
         spark = get_spark(args.master, app_name="lagespark-corpus")
         spark.sparkContext.setLogLevel("WARN")
@@ -104,17 +131,27 @@ def run(args) -> dict:
         spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
     )
 
+    # per-stage wall times (VERDICT r5 #2): the scaling job reads this split
+    # to attribute sublinear end-to-end efficiency to fixed write/read stage
+    # barriers vs genuinely sublinear compute stages
+    stage_sec: dict[str, float] = {}
+
     def stage(df_builder, out_dir, name, inputs):
         """Build + write the stage, or — on resume with a complete manifest
         for the SAME inputs — skip even constructing the DataFrame
         (iterative builders fire jobs at construction time)."""
+        import time
+
+        t0 = time.perf_counter()
         if args.resume and manifest.stage_done(out_dir, inputs):
             man = manifest.read_manifest(out_dir)
+            stage_sec[name] = 0.0
         else:
             man = manifest.write_stage(
                 df_builder(), out_dir, name, "lang", inputs=inputs,
                 resume=args.resume,
             )
+            stage_sec[name] = round(time.perf_counter() - t0, 3)
         df, _ = manifest.read_stage(spark, out_dir)
         return df, man
 
@@ -209,6 +246,7 @@ def run(args) -> dict:
         "mix": _rows(m4),
         "packed_docs": _rows(m5),
         "n_packs": packs.select("lang", "bucket", "pack_id").distinct().count(),
+        "stage_sec": stage_sec,
     }
     with open(os.path.join(args.out, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1)

@@ -1,0 +1,224 @@
+"""Round-6 hardening pins: the S2 lattice snap (three-engine parity on
+lattice-adjacent points), lsh_topk's skinny bucket join (no vector column
+below the bucket exchange), q95's single-scan plan, and the decontaminate
+benchmark-side _spread."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lagespark.kernels import cells
+from lagespark.operators import similarity, spatial
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# S2 lattice snap (VERDICT r5 #3): libm COS/SIN wiggle can no longer flip a
+# lattice-adjacent point across engines
+# ---------------------------------------------------------------------------
+
+
+def _lattice_adjacent_lonlat(n_pts: int = 160, seed: int = 11):
+    """(lat, lon) points whose FACE-0 projected s value lands a chosen
+    distance (in cell units) from a 1/2^15 lattice line: exact-on-line,
+    well inside the snap window (±1e-12, ±3e-10), and well outside it
+    (±5e-9). Built st→uv→xyz→lonlat so the encode replays back to p ≈
+    k + delta up to trig round-trip error (~1e-10 cell units)."""
+    n = 1 << 15
+    rng = np.random.default_rng(seed)
+    deltas = np.array([0.0, 1e-12, -1e-12, 3e-10, -3e-10, 5e-9, -5e-9])
+    ks = rng.integers(n // 4, 3 * n // 4, size=n_pts)
+    dsel = deltas[np.arange(n_pts) % len(deltas)]
+    s = (ks + dsel) / n
+    # t: half random, half lattice-adjacent too (both axes near lines)
+    kt = rng.integers(n // 4, 3 * n // 4, size=n_pts)
+    t = np.where(
+        np.arange(n_pts) % 2 == 0,
+        rng.uniform(0.3, 0.7, n_pts),
+        (kt + dsel) / n,
+    )
+    u = cells._st_to_uv(s)
+    v = cells._st_to_uv(t)
+    # face 0: xyz = (1, u, v)
+    r = np.sqrt(1.0 + u * u + v * v)
+    lat = np.degrees(np.arcsin(v / r))
+    lon = np.degrees(np.arctan2(u, np.ones_like(u)))
+    return lat, lon, ks, dsel
+
+
+def test_s2_lattice_snap_numpy_semantics():
+    """Points within LATTICE_EPS of lattice line k land in cell i=k (round,
+    not floor) — including points just BELOW the line; points outside the
+    window floor normally."""
+    lat, lon, ks, dsel = _lattice_adjacent_lonlat()
+    cell = cells.s2_encode(lat, lon, 15)
+    face, i, _, _ = cells.s2_decode_ij(cell)
+    assert (face == 0).all()
+    inside = np.abs(dsel) <= 3e-10  # well inside the 1e-9 window
+    assert (i[inside] == ks[inside]).all()
+    below = dsel == -5e-9  # outside the window, below the line → floor
+    assert (i[below] == ks[below] - 1).all()
+    above = dsel == 5e-9
+    assert (i[above] == ks[above]).all()
+
+
+def test_s2_lattice_snap_three_engine_parity(spark):
+    """numpy kernel, Spark native step chain, and the DuckDB oracle dialect
+    must agree cell-for-cell on lattice-adjacent points (the exact fuzz the
+    pre-snap encode was vulnerable to)."""
+    duckdb = pytest.importorskip("duckdb")
+    lat, lon, _, _ = _lattice_adjacent_lonlat()
+    want = cells.s2_encode(lat, lon, 15)
+
+    pdf = pd.DataFrame({"k": np.arange(len(lat)), "lat": lat, "lon": lon})
+    df = spark.createDataFrame(pdf)
+    got_spark = (
+        spatial.with_s2_cell_native(df, "lat", "lon", 15)
+        .orderBy("k")
+        .select("cell_s2")
+        .toPandas()["cell_s2"]
+        .to_numpy()
+    )
+    assert (got_spark == want).all()
+
+    con = duckdb.connect()
+    con.register("pts", pdf)
+    nested = cells.s2_nested_select_sql(
+        "SELECT k, lat, lon FROM pts", "lat", "lon", 15, "duckdb"
+    )
+    got_duck = (
+        con.sql(f"SELECT k, cell_s2 FROM ({nested}) ORDER BY k")
+        .df()["cell_s2"]
+        .to_numpy()
+    )
+    assert (got_duck == want).all()
+
+
+def test_s2_snap_harness_domain_unchanged(spark):
+    """The snap must not move any cell on the harness domain (goldens +
+    oracles depend on it): re-run the round-4 fuzz domain and check the
+    encode agrees with a snap-free floor for every point NOT lattice-
+    adjacent (all of them, statistically)."""
+    rng = np.random.default_rng(3)
+    lat = 52.0 + rng.uniform(0, 0.09, 4000)
+    lon = 13.0 + rng.uniform(0, 0.09, 4000)
+    cell = cells.s2_encode(lat, lon, 15)
+    # snap-free reference
+    x, y, z = cells._lonlat_to_xyz(lat, lon)
+    face, u, v = cells._xyz_to_face_uv(x, y, z)
+    n = 1 << 15
+    i_ref = np.clip((cells._uv_to_st(u) * n).astype(np.int64), 0, n - 1)
+    j_ref = np.clip((cells._uv_to_st(v) * n).astype(np.int64), 0, n - 1)
+    _, i, j, _ = cells.s2_decode_ij(cell)
+    assert (i == i_ref).all() and (j == j_ref).all()
+
+
+# ---------------------------------------------------------------------------
+# lsh_topk skinny bucket join (VERDICT r5 #1)
+# ---------------------------------------------------------------------------
+
+
+def _embeddings(spark, n=64, dim=64, seed=5):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n),
+            "embedding": list(rng.normal(size=(n, dim)).astype(np.float64)),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_lsh_topk_plan_no_vectors_below_bucket_exchange(spark):
+    """The ×tables bucket explosion must carry only (id, bucket): any
+    Exchange hash-partitioned on the bucket key whose input includes an
+    embedding column means vectors are being replicated tables× through
+    the shuffle (the round-5 scale flaw)."""
+    e = _embeddings(spark)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = similarity.lsh_topk(e.limit(8), e, k=3)
+        plan = _formatted_plan(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # formatted explain: node detail blocks are blank-line separated; an
+    # Exchange block names its partitioning in Arguments and its columns in
+    # Input/Output lines
+    bucket_exchanges = [
+        b
+        for b in plan.split("\n\n")
+        if "Exchange" in b and "hashpartitioning(bucket" in b
+    ]
+    assert bucket_exchanges, plan  # shuffle join forced above — must appear
+    for block in bucket_exchanges:
+        assert "qv#" not in block and "tv#" not in block, block
+
+
+def test_lsh_topk_results_deterministic_after_rewrite(spark):
+    """Skinny rewrite is a pure plan change: same (qid, nn_id, cos, rank)
+    set across two runs, ranks contiguous from 1, cos sorted within qid."""
+    e = _embeddings(spark)
+    q = e.limit(8)
+    a = similarity.lsh_topk(q, e, k=3).toPandas()
+    b = similarity.lsh_topk(q, e, k=3).toPandas()
+    key = lambda d: sorted(map(tuple, d.to_numpy().tolist()))  # noqa: E731
+    assert key(a) == key(b)
+    for _, g in a.sort_values(["qid", "rank"]).groupby("qid"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert list(g["cos"]) == sorted(g["cos"], reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# q95 single scan of events (VERDICT r5 #4)
+# ---------------------------------------------------------------------------
+
+
+def test_q95_plan_single_events_scan(spark):
+    from lagespark import harness, harness4  # noqa: F401
+
+    df = harness.QUERIES["q95-spatiotemporal-rollup"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _formatted_plan(df)
+    # one file-scan detail block (each scan prints a Location: line once)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# decontaminate benchmark-side _spread (VERDICT r5 #5)
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_benchmark_side_parallel(spark):
+    """The benchmark shingle projection must not run on a single partition
+    when the benchmark arrives as one small file/partition."""
+    from lagespark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["the quick brown fox " * 20, "zz" * 50]}
+        )
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "text": ["the quick brown fox " * 20]})
+    ).coalesce(1)
+    out = dedup.decontaminate(corpus, bench, n=40)
+    rows = {r["doc_id"]: r["n_hits"] for r in out.collect()}
+    assert 1 in rows and 2 not in rows
+    spread = dedup._spread(bench.select("text"))
+    par = spark.sparkContext.defaultParallelism
+    assert spread.rdd.getNumPartitions() >= par

@@ -293,6 +293,22 @@ def run_dedup(spark, n: int, parts: int) -> None:
     assert res[0]["pairs"] > 0
 
 
+def _refine_src(spark, n: int, parts: int) -> str:
+    """Materialized realistic-density corpus for run_refine, cached in /tmp
+    (same discipline as _corpus_src). The timed job MUST read parquet, not
+    generate docs inline: mapInPandas generation runs in Python WORKER
+    PROCESSES outside Spark's task-thread budget, so an inline-generation
+    job at 'local[2]' burns up to 4 CPUs (2 Python + 2 JVM pipelined) —
+    inflating the small level's throughput and deflating measured scaling
+    efficiency by ~20% (measured round 6; run_corpus dodged this from the
+    start via _corpus_src)."""
+    path = f"/tmp/lagespark_scale_refine_src_v1_{n}"
+    dest = os.path.join(path, "documents.parquet")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        _docs(spark, n, parts, dup_every=1000).write.mode("overwrite").parquet(dest)
+    return dest
+
+
 def run_refine(spark, n: int, parts: int) -> None:
     """q71b-shaped PRODUCTION dedup combo (LSH candidates → exact hashed
     n-gram Jaccard refine) at REALISTIC near-dup density (~0.1%: one
@@ -300,16 +316,32 @@ def run_refine(spark, n: int, parts: int) -> None:
     the 46%-dup-density harness corpus, which is pair-volume-bound in the
     refine; a web-scale sweep is the opposite — candidates are rare, the
     linear signature/shingle projections dominate, and THAT regime is what
-    must scale (VERDICT r5 #8)."""
+    must scale (VERDICT r5 #8). Input is pre-materialized parquet
+    (_refine_src) so the timed job is pure engine work; the scan comes
+    back repartitioned to `parts` so both levels run the same plan shape
+    at their own parallelism.
+
+    Banding is THRESHOLD-MATCHED (perms=24, band_rows=6 → b=4, r=6,
+    t* = (1/4)^(1/6) ≈ 0.79 for the 0.8 refine threshold), the same
+    discipline as pipeline/corpus.py's --dedup-band-rows: the default
+    b=4/r=2 bands (t* ≈ 0.5) emit 11.09 MILLION candidates on this corpus
+    — 46,000× the 238 true near-dup pairs — and the refine grinds them for
+    ~155 s of the 177 s total at 240k docs/8 cores. Candidate volume under
+    mismatched bands grows ~n², which is precisely the non-scaling shape
+    this row exists to rule out; matched bands cut the job to 48 s with
+    234/240 injected pairs recovered (the measured numbers behind the
+    minhash_jaccard_pairs candidate-semi-join comment)."""
     from lagespark.operators import dedup
 
+    src = _refine_src(spark, n, parts)
+    docs = spark.read.parquet(src).repartition(parts)
     pairs = dedup.minhash_jaccard_pairs(
-        _docs(spark, n, parts, dup_every=1000),
-        perms=8, band_rows=2, n=3, threshold=0.8,
+        docs, perms=24, band_rows=6, n=3, threshold=0.8,
     )
     res = pairs.agg(F.count(F.lit(1)).alias("pairs")).collect()
     # injected dups differ in 2/40 words → shingle Jaccard >> 0.8; expect
-    # roughly n/1000 true pairs (LSH recall < 1 allows some misses)
+    # roughly n/1000 true pairs (LSH recall < 1 allows some misses —
+    # measured 234/240 at 240k docs with b=4/r=6)
     assert res[0]["pairs"] >= n // 2000, res[0]["pairs"]
 
 
@@ -493,6 +525,10 @@ def main():
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--jobs", default="spatial,image,overlay,dedup")
     ap.add_argument("--no-calibrate", action="store_true")
+    # job-specific sessions (refine, corpus reruns) write their own file —
+    # scaling_results.json holds the headline multi-job record and a
+    # single-job rerun must not clobber it
+    ap.add_argument("--out-name", default="scaling_results.json")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
     jobs = args.jobs.split(",")
@@ -529,7 +565,7 @@ def main():
                 results[f"hw_percore_factor_{a}to{b}"] = round(hw, 3)
                 results[f"{job}_engine_efficiency_{a}to{b}"] = round(raw / hw, 3)
     out = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "scaling_results.json"
+        os.path.dirname(os.path.abspath(__file__)), args.out_name
     )
     with open(out, "w") as f:
         json.dump(results, f, indent=1)

@@ -341,13 +341,36 @@ def minhash_jaccard_pairs(
     the shape a 100 TB near-dup sweep runs — the quadratic exact comparison
     never touches non-candidate pairs."""
     cand = minhash_pairs_fast(df, id_col, text_col, perms, band_rows, n)
+    # cand feeds BOTH the candidate-id semi-join below and the pair join —
+    # EAGER checkpoint, same reasoning as components() at :474: the two
+    # consumers are different plans (no exchange reuse), and with a lazy
+    # checkpoint their stages launch concurrently, each computing the banded
+    # pair generation before the other's cache lands (measured: the 8-core
+    # refine level got SLOWER with eager=False). Eager materializes the
+    # (skinny a,b) pair list once, before either branch runs.
+    cand = cand.localCheckpoint(eager=True)
+    # round 6: only docs that appear in SOME candidate pair pay the hashed-
+    # shingle projection. At realistic (~0.1%) near-dup density with
+    # threshold-matched bands, candidates touch a tiny fraction of the
+    # corpus (~480 of 240k docs on the BENCH/scaling.py refine corpus;
+    # measured 41.4 → 36.0 s there, and the saved work grows linearly with
+    # corpus size — at 100 TB the full-corpus shingle materialization IS
+    # the job). At template-dense corpora the semi-join keeps ~all docs
+    # and costs one extra small join. AQE broadcasts `ids` when small.
+    ids = (
+        cand.select(F.col("a").alias(id_col))
+        .union(cand.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
     # the refine compares HASHED shingle sets (xxhash64 per shingle, native):
     # the pair join then shuffles compact long arrays instead of 32-char
     # strings and array_intersect compares 8-byte ints. Set sizes and the
     # Jaccard value are unchanged unless two distinct shingles collide in 64
     # bits (~1e-19 per pair — the op is approximate-by-contract on recall
     # already; exact-on-strings is ngram_jaccard_pairs)
-    sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+    sh = _spread(
+        df.select(F.col(id_col), F.col(text_col)).join(ids, id_col, "left_semi")
+    ).select(
         F.col(id_col),
         F.array_distinct(
             # inner distinct skipped: the OUTER distinct over the hashes

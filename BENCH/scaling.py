@@ -335,8 +335,9 @@ def run_refine(spark, n: int, parts: int) -> None:
 
     src = _refine_src(spark, n, parts)
     docs = spark.read.parquet(src).repartition(parts)
+    band_rows = dedup.fit_band_rows(24, 0.8)  # = 6: b=4, t* ~= 0.79
     pairs = dedup.minhash_jaccard_pairs(
-        docs, perms=24, band_rows=6, n=3, threshold=0.8,
+        docs, perms=24, band_rows=band_rows, n=3, threshold=0.8,
     )
     res = pairs.agg(F.count(F.lit(1)).alias("pairs")).collect()
     # injected dups differ in 2/40 words → shingle Jaccard >> 0.8; expect

@@ -39,6 +39,32 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(par)
 
 
+def fit_band_rows(perms: int, threshold: float) -> int:
+    """Threshold-MATCHED LSH banding: the largest rows-per-band r dividing
+    `perms` whose S-curve midpoint t* = (1/b)^(1/r) (b = perms/r bands)
+    stays ≤ `threshold`. Collision probability for a pair at J is
+    1-(1-J^r)^b — at J = t* that is ≈ 1-1/e ≈ 0.63 and climbs steeply
+    above it, so the returned banding catches most at-threshold pairs
+    while near-zero background similarity stays out of the candidate set.
+
+    Why this matters at scale: bands MISMATCHED low (t* ≪ threshold)
+    over-generate quadratically — b=4/r=2 (t* ≈ 0.5) at a 0.8 refine
+    threshold emitted 11.09M candidates for 238 true pairs at 240k docs
+    (~46,000× — BENCH/BASELINE.md round 6) and the junk refine dominated
+    the job. If at-threshold recall ≈ 0.63 is not enough (borderline
+    duplicates matter), step r down one divisor: recall at `threshold`
+    goes near 1 at the cost of a looser candidate set — the tradeoff
+    pipeline/corpus.py's --dedup-band-rows help documents."""
+    best = 1
+    for r in range(1, perms + 1):
+        if perms % r:
+            continue
+        b = perms // r
+        if b >= 1 and (1.0 / b) ** (1.0 / r) <= threshold:
+            best = r
+    return best
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups by content digest → (h, n, keeper)."""
     return (

@@ -54,7 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     # duplicates with J in [0.90, ~0.95] can be missed; near-identical
     # duplicates (J→1) are still found with probability ~1. Set
     # --dedup-band-rows 2 when at-threshold recall matters more than the
-    # ~8x candidate volume.
+    # ~8x candidate volume. The default derives as
+    # dedup.fit_band_rows(perms=8, threshold=0.9) — see that helper for
+    # the general matching rule and the over-generation measurement.
     p.add_argument(
         "--dedup-band-rows", type=int, default=4,
         help="LSH rows per band (default 4: J*~0.84, at-threshold "

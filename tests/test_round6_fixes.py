@@ -222,3 +222,30 @@ def test_decontaminate_benchmark_side_parallel(spark):
     spread = dedup._spread(bench.select("text"))
     par = spark.sparkContext.defaultParallelism
     assert spread.rdd.getNumPartitions() >= par
+
+
+# ---------------------------------------------------------------------------
+# threshold-matched LSH banding helper
+# ---------------------------------------------------------------------------
+
+
+def test_fit_band_rows_matches_thresholds():
+    """fit_band_rows returns the tightest banding whose S-curve midpoint
+    stays at-or-below the refine threshold (pure arithmetic — no Spark)."""
+    from lagespark.operators import dedup
+
+    # the two published configurations derive exactly
+    assert dedup.fit_band_rows(24, 0.8) == 6   # b=4, t* ~= 0.79 (refine row)
+    assert dedup.fit_band_rows(8, 0.9) == 4    # b=2, t* ~= 0.84 (corpus CLI)
+    # midpoint never exceeds the threshold, for a sweep of shapes
+    for perms in (8, 16, 24, 32, 64, 128):
+        for thr in (0.5, 0.62, 0.8, 0.9, 0.95):
+            r = dedup.fit_band_rows(perms, thr)
+            b = perms // r
+            assert perms % r == 0
+            assert (1.0 / b) ** (1.0 / r) <= thr + 1e-12
+            # and it is the LARGEST such divisor (tightest candidate set)
+            for r2 in range(r + 1, perms + 1):
+                if perms % r2 == 0:
+                    b2 = perms // r2
+                    assert (1.0 / b2) ** (1.0 / r2) > thr or b2 < 1

@@ -1080,6 +1080,20 @@ def ri_masks(
     count, so the exact kernel re-joins flat coordinates by id only for the
     ambiguous non-rect pairs (same shuffle hygiene as overlay_join). The
     rect flag + bbox let the join decide rect×rect pairs natively."""
+    return _masks_over_cover(_mask_cover(feats, cell_size, id_col), cell_size, sub)
+
+
+def _mask_cover(
+    feats: DataFrame, cell_size: float, id_col: str = "feature_id"
+) -> DataFrame:
+    """Checkpointed per-(feature, cover cell) frame feeding the mask paths:
+    (id, xs, ys, nv, rect, lxmin..lymax, cell). Checkpointed because it
+    feeds multiple consumers (native-rect / kernel mask branches, and in
+    intersects_join_ri also the mask-free rect×rect pair path) — no
+    exchange reuse across branches with different pruning (see
+    overlay_join). Repartition first: the checkpoint captures the
+    AQE-coalesced layout (often ONE partition for skinny rows), which
+    would serialize every consumer."""
     cov = _bbox_cover_cells(
         feats.select(
             F.col(id_col).alias("id"),
@@ -1096,14 +1110,24 @@ def ri_masks(
         cell_size,
         "l",
     )
-    # the cover feeds two mask branches (native rect / kernel) — checkpoint
-    # so the feature build + explosion runs once (no exchange reuse across
-    # branches with different pruning; see overlay_join). Repartition first:
-    # the checkpoint captures the AQE-coalesced layout (often ONE partition
-    # for skinny rows), which would serialize both mask branches.
-    cov = cov.repartition(
+    # EAGER: the cover feeds up to four consumers in intersects_join_ri
+    # (rect pair path, two mask families, the ambiguous payload agg), and
+    # the payload sides are BROADCAST exchanges that materialize on
+    # concurrent threads at action start — a lazy checkpoint races there
+    # and recomputes the cover once per thread (measured: q82 warm
+    # 12 → 18-27 s with run-to-run swing; same race class as
+    # dedup._bucket_pairs / components)
+    return cov.repartition(
         cov.sparkSession.sparkContext.defaultParallelism
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
+
+
+def _masks_over_cover(cov: DataFrame, cell_size: float, sub: int) -> DataFrame:
+    """The two mask branches of ri_masks over a (checkpointed) cover frame.
+    Passing a pre-filtered cover (only rect, or only non-rect rows) folds
+    the other branch away statically — `rect AND NOT rect` is constant
+    False, so PropagateEmptyRelation removes the dead branch from the plan
+    (intersects_join_ri relies on this to skip mask work per family)."""
     sub_area = (cell_size / sub) ** 2
 
     @F.pandas_udf("a_mask int, f_mask int")
@@ -1220,15 +1244,65 @@ def intersects_join_ri(
 ) -> DataFrame:
     """Boolean polygon-intersects join with Raster-Intervals-style pruning:
 
-      definite NO  : a_l & a_r == 0 in the shared cell        (native)
-      definite YES : (f_l & a_r) | (a_l & f_r) != 0           (native)
-      ambiguous    : exact clip kernel restricted to the cell (pandas UDF)
+      rect × rect  : GLOBAL bbox-overlap verdict at pair level  (native)
+      definite NO  : a_l & a_r == 0 in the shared cell          (native)
+      definite YES : (f_l & a_r) | (a_l & f_r) != 0             (native)
+      ambiguous    : exact clip kernel restricted to the cell  (pandas UDF)
 
-    Decisions are per shared cell; a pair intersects if ANY cell says yes →
-    distinct at the end. Returns (id_l, id_r, method) where method records
-    how the winning cell was decided ('ri' or 'exact') — the pruning-rate
-    diagnostic."""
-    lm = ri_masks(left, cell_size, sub, left_id).select(
+    Axis-rect pairs never enter the mask machinery: a rect IS its bbox, so
+    the pair verdict (overlap area > 1e-9, the exact kernel's own rect∩rect
+    result) needs only a skinny (id, cell, bbox) cell join + one dedup.
+    Mask decisions are per shared cell; a pair intersects if ANY cell says
+    yes → distinct at the end. Returns (id_l, id_r, method) where method
+    records how the pair was decided ('rect', 'ri' or 'exact') — the
+    pruning-rate diagnostic."""
+    # the COVERS are the shared substrate (checkpointed inside _mask_cover —
+    # they feed the rect pair path and up to two mask families per side)
+    par = left.sparkSession.sparkContext.defaultParallelism
+    lcov = _mask_cover(left, cell_size, left_id)
+    rcov = _mask_cover(right, cell_size, right_id)
+
+    # rect × rect pairs: an axis-rect IS its bbox, so the pair verdict is
+    # GLOBAL bbox arithmetic — overlap area > 1e-9 (the exact kernel's own
+    # rect∩rect result). These pairs come STRAIGHT OFF THE COVERS: no mask
+    # computation, no wide mask join, no candidate checkpoint — only a
+    # skinny (id, cell, bbox) explosion reaches the cell-join shuffle, and
+    # the per-cell rows collapse in one dropDuplicates. Same discipline as
+    # overlay_join's native rect path — at scale the common cadastre case
+    # (axis-aligned parcels/buildings) pays bitmask cost only when a general
+    # polygon is actually on one side of the pair.
+    lrect = lcov.filter(F.col("rect")).select(
+        F.col("id").alias("id_l"), "cell", "lxmin", "lymin", "lxmax", "lymax"
+    )
+    rrect = rcov.filter(F.col("rect")).select(
+        F.col("id").alias("id_r"),
+        "cell",
+        F.col("lxmin").alias("rxmin"),
+        F.col("lymin").alias("rymin"),
+        F.col("lxmax").alias("rxmax"),
+        F.col("lymax").alias("rymax"),
+    )
+    gpx = F.least(F.col("lxmax"), F.col("rxmax")) - F.greatest(
+        F.col("lxmin"), F.col("rxmin")
+    )
+    gpy = F.least(F.col("lymax"), F.col("rymax")) - F.greatest(
+        F.col("lymin"), F.col("rymin")
+    )
+    rect_pairs = (
+        lrect.join(rrect, "cell")
+        .filter((gpx > 0) & (gpy > 0) & (gpx * gpy > 1e-9))
+        .select("id_l", "id_r")
+        .dropDuplicates(["id_l", "id_r"])
+        .withColumn("method", F.lit("rect"))
+    )
+
+    # ONE mask frame per side over the full cover (the masks stream into a
+    # single cell join — no mask checkpoints, no per-family frames: a
+    # 4-frame family split was measured ~4 s SLOWER at sf0.1 from driver
+    # planning + empty-partition checkpoint jobs alone). rect×rect rows are
+    # dropped right after the join probe, BEFORE the candidate checkpoint —
+    # they stream through codegen at ~ns/row and never materialize.
+    lm = _masks_over_cover(lcov, cell_size, sub).select(
         F.col("id").alias("id_l"),
         F.col("rect").alias("rect_l"),
         "lxmin", "lymin", "lxmax", "lymax",
@@ -1236,7 +1310,7 @@ def intersects_join_ri(
         F.col("a_mask").alias("a_l"),
         F.col("f_mask").alias("f_l"),
     )
-    rm = ri_masks(right, cell_size, sub, right_id).select(
+    rm = _masks_over_cover(rcov, cell_size, sub).select(
         F.col("id").alias("id_r"),
         F.col("rect").alias("rect_r"),
         F.col("lxmin").alias("rxmin"),
@@ -1247,16 +1321,17 @@ def intersects_join_ri(
         F.col("a_mask").alias("a_r"),
         F.col("f_mask").alias("f_r"),
     )
-    cand = lm.join(rm, "cell")
-    # definite NO pruned natively; the surviving candidate set feeds three
-    # branches (definite-yes, native rect decision, exact kernel) —
-    # checkpoint so the mask join runs once
+    cand = (
+        lm.join(rm, "cell")
+        .filter(~(F.col("rect_l") & F.col("rect_r")))
+        .drop("rect_l", "rect_r")
+    )
+    # definite NO pruned natively; the surviving candidate set feeds two
+    # branches (definite-yes, exact kernel) — checkpoint so the mask join
+    # runs once; repartition first (see overlay_join: the captured layout
+    # is otherwise AQE-coalesced to ~1 partition and every branch serializes)
     cand = cand.filter((F.col("a_l").bitwiseAND(F.col("a_r"))) != 0)
-    # repartition before checkpoint — see overlay_join: the captured layout
-    # is otherwise AQE-coalesced to ~1 partition and every branch serializes
-    cand = cand.repartition(
-        cand.sparkSession.sparkContext.defaultParallelism
-    ).localCheckpoint(eager=False)
+    cand = cand.repartition(par).localCheckpoint(eager=False)
     definite = (F.col("f_l").bitwiseAND(F.col("a_r")) != 0) | (
         F.col("a_l").bitwiseAND(F.col("f_r")) != 0
     )
@@ -1265,42 +1340,24 @@ def intersects_join_ri(
     )
     ambiguous = cand.filter(~definite)
 
-    # rect × rect ambiguous pairs: the exact in-cell decision is pure
-    # arithmetic — clip left rect to the cell (positive extents required,
-    # mirroring the kernel's len(piece)>=3 check), then the overlap of that
-    # piece with the right rect must have area > 1e-9 (the kernel's own
-    # rect∩rect arithmetic and epsilon)
-    shift = F.lit(1 << cells.GRID_SHIFT)
-    cx0 = ((F.col("cell") / shift).cast("long") - cells.GRID_OFF).cast("double") * F.lit(cell_size)
-    cy0 = (F.col("cell") % shift - cells.GRID_OFF).cast("double") * F.lit(cell_size)
-    cx1 = cx0 + F.lit(cell_size)
-    cy1 = cy0 + F.lit(cell_size)
-    lcx = F.least(F.col("lxmax"), cx1) - F.greatest(F.col("lxmin"), cx0)
-    lcy = F.least(F.col("lymax"), cy1) - F.greatest(F.col("lymin"), cy0)
-    px = F.least(F.col("lxmax"), cx1, F.col("rxmax")) - F.greatest(
-        F.col("lxmin"), cx0, F.col("rxmin")
-    )
-    py = F.least(F.col("lymax"), cy1, F.col("rymax")) - F.greatest(
-        F.col("lymin"), cy0, F.col("rymin")
-    )
-    rect_verdict = (
-        (lcx > 0) & (lcy > 0) & (px > 0) & (py > 0) & (px * py > 1e-9)
-    )
-    both_rect = F.col("rect_l") & F.col("rect_r")
-    rect_yes = ambiguous.filter(both_rect & rect_verdict).select(
-        "id_l", "id_r", F.lit("exact").alias("method")
-    )
     # non-rect ambiguous pairs: re-join flat ring payloads by id (the skinny
-    # mask join never multiplied them through the per-cell pair explosion)
-    lpay = left.select(
-        F.col(left_id).alias("id_l"), *_flat_ring_cols(F.col("rings"), "_l")
+    # mask join never multiplied them through the per-cell pair explosion).
+    # The payloads come from the CHECKPOINTED covers (one first() per id),
+    # not from a re-scan of the upstream feature pipeline — the broadcast
+    # sides of these joins materialize eagerly, so a `left`/`right` subtree
+    # here would re-run the whole feature build even when ambiguous is empty
+    lpay = lcov.groupBy(F.col("id").alias("id_l")).agg(
+        F.first("xs").alias("xs_l"),
+        F.first("ys").alias("ys_l"),
+        F.first("nv").alias("nv_l"),
     )
-    rpay = right.select(
-        F.col(right_id).alias("id_r"), *_flat_ring_cols(F.col("rings"), "_r")
+    rpay = rcov.groupBy(F.col("id").alias("id_r")).agg(
+        F.first("xs").alias("xs_r"),
+        F.first("ys").alias("ys_r"),
+        F.first("nv").alias("nv_r"),
     )
     ambiguous = (
-        ambiguous.filter(~both_rect)
-        .select("id_l", "id_r", "cell")
+        ambiguous.select("id_l", "id_r", "cell")
         .join(lpay, "id_l")
         .join(rpay, "id_r")
     )
@@ -1342,8 +1399,16 @@ def intersects_join_ri(
     amb_yes = ambiguous.filter(
         exact("xs_l", "ys_l", "nv_l", "xs_r", "ys_r", "nv_r", "cell")
     ).select("id_l", "id_r", F.lit("exact").alias("method"))
-    allpairs = yes.unionByName(rect_yes).unionByName(amb_yes)
-    return allpairs.groupBy("id_l", "id_r").agg(F.min("method").alias("method"))
+    # rect_pairs is disjoint from the mask-join pair space AND already
+    # distinct, so only the mask families need the any-cell dedup — the
+    # rect family unions in WITHOUT re-shuffling through a global agg;
+    # method is 'rect' | 'ri' | 'exact'
+    mask_pairs = (
+        yes.unionByName(amb_yes)
+        .groupBy("id_l", "id_r")
+        .agg(F.min("method").alias("method"))
+    )
+    return mask_pairs.unionByName(rect_pairs)
 
 
 # ---------------------------------------------------------------------------

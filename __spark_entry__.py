@@ -61,12 +61,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries() in iteration order. Union of rounds 1-5 driver-touched all 105
 # registered queries (84 oracled all-true + 21 rows-only executed) — see
 # VERDICT.md r5. Round-6 rotation (ONE deliberate edit per round, otherwise
-# FROZEN): (a) the six queries whose code paths changed this round (S2
+# FROZEN): (a) the seven queries whose code paths changed this round (S2
 # lattice snap -> q57/q50/q83; q95 single-scan; decontaminate benchmark
-# _spread -> q100; lsh_topk skinny bucket join -> q76) go first so the
-# driver re-proves them; (b) the five r3-stale overflow survivors; (c) the
+# _spread -> q100; lsh_topk skinny bucket join -> q76; intersects_join_ri
+# native rect-pair path -> q82) go first so the driver re-proves them;
+# (b) the five r3-stale overflow survivors; (c) the
 # 50-query r4-window set, heavy / rows-only plans first, staleness-refresh.
-# 58 entries vs a ~50-slot budget: the LAST eight are deliberate overflow —
+# 59 entries vs a ~50-slot budget: the LAST nine are deliberate overflow —
 # q34/q35 (sort/limit), q36/q37/q38 (set ops), q29-pivot, q46-scalar-date2,
 # q47-scalar-map are trivial single-operator plans with pytest coverage and
 # 2+ prior all-true driver rows each.
@@ -78,6 +79,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q95-spatiotemporal-rollup",
     "q100-decontaminate",
     "q76-ann-lsh",
+    "q82-geo-intersects-ri",
     # -- last driver-checked in r03 (r5 overflow) --
     "q59b-geo-tile-rect",
     "q91-stream-slide",

@@ -1124,10 +1124,9 @@ def _mask_cover(
 
 def _masks_over_cover(cov: DataFrame, cell_size: float, sub: int) -> DataFrame:
     """The two mask branches of ri_masks over a (checkpointed) cover frame.
-    Passing a pre-filtered cover (only rect, or only non-rect rows) folds
-    the other branch away statically — `rect AND NOT rect` is constant
-    False, so PropagateEmptyRelation removes the dead branch from the plan
-    (intersects_join_ri relies on this to skip mask work per family)."""
+    Split out so intersects_join_ri can build its masks over the SAME
+    checkpointed cover that feeds its rect pair path and ambiguous payload
+    re-join (one cover build per side, however many consumers)."""
     sub_area = (cell_size / sub) ** 2
 
     @F.pandas_udf("a_mask int, f_mask int")
@@ -1296,13 +1295,30 @@ def intersects_join_ri(
         .withColumn("method", F.lit("rect"))
     )
 
-    # ONE mask frame per side over the full cover (the masks stream into a
-    # single cell join — no mask checkpoints, no per-family frames: a
-    # 4-frame family split was measured ~4 s SLOWER at sf0.1 from driver
-    # planning + empty-partition checkpoint jobs alone). rect×rect rows are
-    # dropped right after the join probe, BEFORE the candidate checkpoint —
-    # they stream through codegen at ~ns/row and never materialize.
-    lm = _masks_over_cover(lcov, cell_size, sub).select(
+    # The mask families only ever DECIDE pairs with >= 1 non-rect side
+    # (rect×rect is filtered out of the candidate set below), so a side's
+    # masks/payloads are needed for its rect rows ONLY when the OTHER side
+    # has non-rect rows. Probe the eagerly-checkpointed covers (driver-side
+    # adaptive choice, same spirit as the count-guarded broadcasts): on an
+    # all-rect × all-rect input the whole mask/kernel pipeline folds away
+    # and the join is pure codegen bbox arithmetic (measured: 65k×65k
+    # rect-only warm 12.6 → ~6 s; the probe itself is a ms-scale scan of
+    # the in-memory checkpoint).
+    l_has_gen = lcov.filter(~F.col("rect")).limit(1).count() > 0
+    r_has_gen = rcov.filter(~F.col("rect")).limit(1).count() > 0
+    if not (l_has_gen or r_has_gen):
+        return rect_pairs
+    lsrc = lcov if r_has_gen else lcov.filter(~F.col("rect"))
+    rsrc = rcov if l_has_gen else rcov.filter(~F.col("rect"))
+
+    # ONE mask frame per side over the (possibly rect-pruned) cover — the
+    # masks stream into a single cell join; no mask checkpoints, no
+    # per-family frames: a 4-frame family split was measured ~4 s SLOWER at
+    # sf0.1 from driver planning + empty-partition checkpoint jobs alone.
+    # rect×rect rows are dropped right after the join probe, BEFORE the
+    # candidate checkpoint — they stream through codegen at ~ns/row and
+    # never materialize.
+    lm = _masks_over_cover(lsrc, cell_size, sub).select(
         F.col("id").alias("id_l"),
         F.col("rect").alias("rect_l"),
         "lxmin", "lymin", "lxmax", "lymax",
@@ -1310,7 +1326,7 @@ def intersects_join_ri(
         F.col("a_mask").alias("a_l"),
         F.col("f_mask").alias("f_l"),
     )
-    rm = _masks_over_cover(rcov, cell_size, sub).select(
+    rm = _masks_over_cover(rsrc, cell_size, sub).select(
         F.col("id").alias("id_r"),
         F.col("rect").alias("rect_r"),
         F.col("lxmin").alias("rxmin"),
@@ -1346,12 +1362,12 @@ def intersects_join_ri(
     # not from a re-scan of the upstream feature pipeline — the broadcast
     # sides of these joins materialize eagerly, so a `left`/`right` subtree
     # here would re-run the whole feature build even when ambiguous is empty
-    lpay = lcov.groupBy(F.col("id").alias("id_l")).agg(
+    lpay = lsrc.groupBy(F.col("id").alias("id_l")).agg(
         F.first("xs").alias("xs_l"),
         F.first("ys").alias("ys_l"),
         F.first("nv").alias("nv_l"),
     )
-    rpay = rcov.groupBy(F.col("id").alias("id_r")).agg(
+    rpay = rsrc.groupBy(F.col("id").alias("id_r")).agg(
         F.first("xs").alias("xs_r"),
         F.first("ys").alias("ys_r"),
         F.first("nv").alias("nv_r"),

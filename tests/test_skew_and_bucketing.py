@@ -127,6 +127,126 @@ def test_ri_intersects_join_general_polygons(spark):
     assert (got.method == "ri").any()
 
 
+def test_ri_intersects_rect_fast_path(spark):
+    """Axis-rect × axis-rect pairs take the native cover path: on a
+    rect-only corpus every pair is decided with method == 'rect' (no mask
+    or kernel involvement in the verdict) and the pair set equals the
+    brute-force bbox-overlap set (area > 1e-9, the kernel's own rect∩rect
+    arithmetic). On the mixed fixture corpus, method == 'rect' exactly
+    when BOTH sides are axis rects — the mask families never emit a pair
+    the rect path owns (disjoint pair spaces, so the final union needs no
+    cross-family dedup)."""
+    import pandas as pd
+
+    from lagespark import fixtures
+
+    rng = np.random.RandomState(7)
+
+    def rect_pdf(prefix, n):
+        x0 = rng.uniform(0, 4500, n)
+        y0 = rng.uniform(0, 4500, n)
+        w = rng.uniform(80, 600, n)
+        h = rng.uniform(80, 600, n)
+        return pd.DataFrame(
+            [
+                fixtures._poly_row(
+                    f"{prefix}{i:03d}",
+                    [fixtures._rect(x0[i], y0[i], x0[i] + w[i], y0[i] + h[i])],
+                )
+                for i in range(n)
+            ]
+        )
+
+    lp, rp = rect_pdf("L", 60), rect_pdf("R", 80)
+    got = spatial.intersects_join_ri(
+        spark.createDataFrame(lp), spark.createDataFrame(rp), cell_size=250.0
+    ).toPandas()
+    assert (got.method == "rect").all(), got.method.value_counts().to_dict()
+
+    want = set()
+    for _, a in lp.iterrows():
+        for _, b in rp.iterrows():
+            px = min(a.xmax, b.xmax) - max(a.xmin, b.xmin)
+            py = min(a.ymax, b.ymax) - max(a.ymin, b.ymin)
+            if px > 0 and py > 0 and px * py > 1e-9:
+                want.add((a.feature_id, b.feature_id))
+    pairs = {(r.id_l, r.id_r) for r in got.itertuples()}
+    assert pairs == want, (pairs - want, want - pairs)
+    assert not got.duplicated(["id_l", "id_r"]).any()
+
+    # mixed corpus: 'rect' iff both sides are axis rects
+    gf_pdf = fixtures.gruenflaeche_pdf()
+    others = pd.concat(
+        [
+            fixtures.baufeld_pdf().assign(construction_value=None),
+            fixtures.biotope_pdf(),
+        ]
+    )
+    cols = ["feature_id", "rings", "xmin", "ymin", "xmax", "ymax", "wkt"]
+
+    def is_rect(row):
+        rings = [
+            np.array([[p["x"], p["y"]] for p in ring]) for ring in row["rings"]
+        ]
+        return spatial._np_axis_rect(
+            rings, row["xmin"], row["ymin"], row["xmax"], row["ymax"]
+        )
+
+    rect_ids = {
+        r["feature_id"]
+        for _, r in pd.concat([gf_pdf, others]).iterrows()
+        if is_rect(r)
+    }
+    mixed = spatial.intersects_join_ri(
+        spark.createDataFrame(gf_pdf[cols]),
+        spark.createDataFrame(others[cols]),
+        cell_size=250.0,
+    ).toPandas()
+    for r in mixed.itertuples():
+        both = r.id_l in rect_ids and r.id_r in rect_ids
+        assert (r.method == "rect") == both, (r.id_l, r.id_r, r.method)
+
+    # single-side-rect probe branches: an ALL-RECT side prunes the OTHER
+    # side's rect rows from the mask family (rect×all-rect pairs are owned
+    # by the native path), but keeps the all-rect side's masks — (gen, rect)
+    # pairs are still mask/kernel-decided. Verdicts vs brute-force kernel.
+    from lagespark.kernels import geom
+
+    def np_rings(row):
+        return [
+            np.array([[p["x"], p["y"]] for p in ring]) for ring in row["rings"]
+        ]
+
+    allrect = rect_pdf("A", 40)
+    allrect["xmin"] += 2000  # overlap the fixture window [2000, 3200]
+    allrect["xmax"] += 2000
+    allrect["ymin"] += 2000
+    allrect["ymax"] += 2000
+    allrect["rings"] = [
+        [fixtures._rect(r.xmin, r.ymin, r.xmax, r.ymax)] for r in allrect.itertuples()
+    ]
+    allrect = pd.DataFrame(
+        [
+            fixtures._poly_row(r.feature_id, r.rings)
+            for r in allrect.itertuples()
+        ]
+    )
+    for a_pdf, b_pdf in ((allrect, others), (others, allrect)):
+        got2 = spatial.intersects_join_ri(
+            spark.createDataFrame(a_pdf[cols]),
+            spark.createDataFrame(b_pdf[cols]),
+            cell_size=250.0,
+        ).toPandas()
+        want2 = {
+            (a["feature_id"], b["feature_id"])
+            for _, a in a_pdf.iterrows()
+            for _, b in b_pdf.iterrows()
+            if geom.intersection_area(np_rings(a), np_rings(b)) > 1e-9
+        }
+        pairs2 = {(r.id_l, r.id_r) for r in got2.itertuples()}
+        assert pairs2 == want2, (pairs2 - want2, want2 - pairs2)
+
+
 def test_overlay_join_general_polygons_and_rect_detection(spark):
     """overlay_join after the flat-marshalling + native-rect rewrite:
 

@@ -41,6 +41,10 @@ HEADLINE = [
     "q60-img-roundtrip",  # image payload decode + invariant
     "q64b-multimodal-frames",  # LAV1 container frame sampling (index-seek decode)
     "q72b-dedup-minhash-fast",  # PRODUCTION MinHash+LSH (xxhash64 int64 sigs)
+    "q82-geo-intersects-ri",  # RI-pruned intersects join (added r6: native
+                              # rect-pair path — all-rect inputs short-circuit
+                              # to pure codegen; round-over-round subsets
+                              # exclude it when comparing to r1-r5 totals)
     "q72-dedup-minhash-lsh",  # oracle-portable MinHash+LSH (heaviest last:
                               # its md5/GC load otherwise inflates followers)
 ]
@@ -104,7 +108,12 @@ def main() -> None:
     # codegen/Janino classes are now cached, so warm-cold ≈ compile cost and
     # the warm number is the plan cost to compare across rounds
     warm: dict[str, float] = {}
-    for name in ("q68-geo-overlay-join", "q69-geo-knn-points", "q72b-dedup-minhash-fast"):
+    for name in (
+        "q68-geo-overlay-join",
+        "q69-geo-knn-points",
+        "q72b-dedup-minhash-fast",
+        "q82-geo-intersects-ri",
+    ):
         fn = queries[name]
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.3)

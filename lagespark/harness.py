@@ -1242,7 +1242,7 @@ def q57(spark, sf):
     point whose scaled st value lands within 1e-9 cell-units of a 1/2^15
     lattice line to round(p) — identically in numpy, the JVM, and DuckDB —
     so libm disagreement can no longer flip a cell at any sf. The
-    lattice-adjacent three-engine parity test in test_round4_fixes.py pins
+    lattice-adjacent three-engine parity test in test_round6_fixes.py pins
     it."""
     pts = points_df(spark, sf)
     lonlat = pts.select(

@@ -365,7 +365,17 @@ def minhash_jaccard_pairs(
     (every emitted pair really has jaccard ≥ threshold); recall is the LSH
     collision probability, asserted on injected duplicates in tests. This is
     the shape a 100 TB near-dup sweep runs — the quadratic exact comparison
-    never touches non-candidate pairs."""
+    never touches non-candidate pairs.
+
+    MATCH THE BANDING TO THE THRESHOLD at scale: the defaults
+    (perms=8, band_rows=2 → t* ≈ 0.5) keep recall ≈ 0.98 at J=0.8 on
+    small corpora, but at web scale that low S-curve midpoint
+    over-generates candidates quadratically — measured 11.09M candidates
+    for 238 true pairs at 240k docs (BENCH/BASELINE.md round 6). The fix
+    there: raise `perms` for a finer divisor grid and derive
+    `band_rows = fit_band_rows(perms, threshold)` (perms=24/band_rows=6
+    gives t* ≈ 0.79 for a 0.8 threshold), exactly what
+    pipeline/corpus.py and BENCH/scaling.py's refine job do."""
     cand = minhash_pairs_fast(df, id_col, text_col, perms, band_rows, n)
     # cand feeds BOTH the candidate-id semi-join below and the pair join —
     # EAGER checkpoint, same reasoning as components() at :474: the two

@@ -350,6 +350,90 @@ def simhash_value_sql(bits: int) -> str:
     return "(" + " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)) + ")"
 
 
+def _popcount64(x):
+    """Vectorized 64-bit SWAR popcount over a uint64 ndarray (numpy 1.x has
+    no np.bitwise_count; this is the classic parallel-bits reduction)."""
+    import numpy as np
+
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def _refine_bitset(cand: DataFrame, sh: DataFrame, id_col: str,
+                   threshold: float, max_bytes: int):
+    """Config-scale refine: broadcast the candidate docs' hashed shingle
+    sets as a packed docs×vocab bit matrix; the pair stream stays SKINNY
+    (a, b) and each pair's intersection is one AND + popcount row op.
+
+    Why: the join refine ships every doc's full hash array once PER PAIR —
+    on a template-dense corpus a doc rides the pair shuffle thousands of
+    times (q71b at sf0.1: 6.97M candidate pairs from 5,500 docs ≈ 20 GB of
+    duplicated arrays), and array_intersect re-builds a hash set per row.
+    Here the arrays cross the wire ONCE (driver collect + broadcast) and
+    the per-pair work is ~vocab/64 uint64 ops, vectorized per Arrow batch.
+
+    Returns None when the vocabulary makes the matrix exceed `max_bytes` —
+    the caller falls back to the join refine (the data-scale path). Same
+    integer (|A∩B|, |A|, |B|) arithmetic as the join path, so the jaccard
+    values agree (both round half-up to 4 dp; cross-path equality is
+    test-pinned in test_dedup_scale_paths.py)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = sh.toPandas()
+    n_docs = len(pdf)
+    if n_docs == 0:
+        return None
+    arrs = [np.asarray(a, dtype=np.int64) for a in pdf["sh"]]
+    lens = np.array([len(a) for a in arrs], dtype=np.int64)
+    flat = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+    vocab, inv = np.unique(flat, return_inverse=True)
+    words = max(1, (len(vocab) + 63) // 64)
+    if n_docs * words * 8 > max_bytes:
+        return None
+    mat = np.zeros((n_docs, words), dtype=np.uint64)
+    rows = np.repeat(np.arange(n_docs), lens)
+    bits = np.left_shift(
+        np.ones(len(inv), dtype=np.uint64), (inv % 64).astype(np.uint64)
+    )
+    # |= with duplicate (row, word) targets needs the unbuffered ufunc form
+    np.bitwise_or.at(mat, (rows, inv // 64), bits)
+    ids = pdf[id_col].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids_sorted, mat, sizes = ids[order], mat[order], lens[order]
+    bc = cand.sparkSession.sparkContext.broadcast((ids_sorted, mat, sizes))
+    thr = float(threshold)
+
+    def refine(batches):
+        bids, bmat, bsizes = bc.value
+        for b in batches:
+            a_v, b_v = b["a"].to_numpy(), b["b"].to_numpy()
+            ia = np.searchsorted(bids, a_v)
+            ib = np.searchsorted(bids, b_v)
+            inter = _popcount64(bmat[ia] & bmat[ib]).sum(axis=1).astype(np.int64)
+            union = bsizes[ia] + bsizes[ib] - inter
+            with np.errstate(invalid="ignore", divide="ignore"):
+                jac = inter / union
+            keep = jac >= thr  # NaN (empty∪empty) compares False, as the
+            yield pd.DataFrame(  # join path's NULL-division drop does
+                {
+                    "a": a_v[keep],
+                    "b": b_v[keep],
+                    # half-up at 4 dp, matching Spark ROUND on double
+                    "jaccard": np.floor(jac[keep] * 1e4 + 0.5) / 1e4,
+                }
+            )
+
+    a_t = cand.schema["a"].dataType.simpleString()
+    b_t = cand.schema["b"].dataType.simpleString()
+    out = _spread(cand).mapInPandas(refine, f"a {a_t}, b {b_t}, jaccard double")
+    return out
+
+
 def minhash_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -358,6 +442,8 @@ def minhash_jaccard_pairs(
     band_rows: int = 2,
     n: int = 3,
     threshold: float = 0.8,
+    bitset_max_hashes: int = 16_000_000,
+    bitset_max_bytes: int = 256 << 20,
 ) -> DataFrame:
     """The PRODUCTION dedup combo: MinHash+LSH candidate generation
     (minhash_pairs_fast — bucketed, linear) followed by EXACT n-gram Jaccard
@@ -375,7 +461,15 @@ def minhash_jaccard_pairs(
     there: raise `perms` for a finer divisor grid and derive
     `band_rows = fit_band_rows(perms, threshold)` (perms=24/band_rows=6
     gives t* ≈ 0.79 for a 0.8 threshold), exactly what
-    pipeline/corpus.py and BENCH/scaling.py's refine job do."""
+    pipeline/corpus.py and BENCH/scaling.py's refine job do.
+
+    The refine itself is adaptive (round 6): when the candidate docs'
+    total shingle-hash count fits `bitset_max_hashes` (collect budget) and
+    the packed docs×vocab bit matrix fits `bitset_max_bytes`, the exact
+    intersection runs as a broadcast bitset kernel over the SKINNY (a, b)
+    pair stream — the arrays cross the wire once instead of once per pair
+    (see _refine_bitset). Otherwise the original per-pair array join runs
+    unchanged — that's the data-scale path."""
     cand = minhash_pairs_fast(df, id_col, text_col, perms, band_rows, n)
     # cand feeds BOTH the candidate-id semi-join below and the pair join —
     # EAGER checkpoint, same reasoning as components() at :474: the two
@@ -414,6 +508,19 @@ def minhash_jaccard_pairs(
             F.transform(shingle_col(text_col, n, distinct=False), lambda s: F.xxhash64(s))
         ).alias("sh"),
     )
+    # ONE corpus scan for the shingle sets: the join refine consumes `sh`
+    # on BOTH pair sides and the two exchanges don't canonicalize equal
+    # (different output aliases → no ReusedExchange — verified on the
+    # executed plan), so without this checkpoint the corpus scan + shingle
+    # projection runs twice; the bitset path's collect reads it too
+    sh = sh.localCheckpoint(eager=True)
+    stats = sh.agg(
+        F.count(F.lit(1)).alias("nd"), F.sum(F.size("sh")).alias("nh")
+    ).first()
+    if (stats["nh"] or 0) <= bitset_max_hashes:
+        out = _refine_bitset(cand, sh, id_col, threshold, bitset_max_bytes)
+        if out is not None:
+            return out
     pairs = cand.join(
         sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a")), "a"
     ).join(sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b")), "b")

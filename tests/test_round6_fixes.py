@@ -249,3 +249,42 @@ def test_fit_band_rows_matches_thresholds():
                 if perms % r2 == 0:
                     b2 = perms // r2
                     assert (1.0 / b2) ** (1.0 / r2) > thr or b2 < 1
+
+
+# ---------------------------------------------------------------------------
+# adaptive bitset refine: broadcast docs×vocab bit matrix over the skinny
+# pair stream == the per-pair array-join refine, value for value
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_jaccard_bitset_refine_matches_join_path(spark):
+    """minhash_jaccard_pairs' config-scale bitset refine must emit EXACTLY
+    the join refine's pairs and jaccard values (same hashed sets, same
+    integer |A∩B|/|A|/|B| arithmetic, both half-up at 4 dp). The join path
+    otherwise ships each doc's full hash array once per candidate pair —
+    q71b at sf0.1 moves ~20 GB of duplicated arrays through the pair
+    shuffle; the bitset path moves each array once (measured warm 36 s →
+    12.5 s for the whole op)."""
+    from lagespark.operators import dedup
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).limit(200)
+    dup = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    d = docs.unionByName(dup)
+    fast = dedup.minhash_jaccard_pairs(d, threshold=0.62)
+    # default guards admit this corpus → the kernel plan, not the join
+    assert "MapInPandas" in _formatted_plan(fast)
+    slow = dedup.minhash_jaccard_pairs(d, threshold=0.62, bitset_max_hashes=0)
+    assert "MapInPandas" not in _formatted_plan(slow)
+    got = {(r.a, r.b): r.jaccard for r in fast.collect()}
+    ref = {(r.a, r.b): r.jaccard for r in slow.collect()}
+    assert got.keys() == ref.keys()
+    assert got, "guard corpus must produce pairs"
+    assert all(got[k] == ref[k] for k in got)
+    # a vocabulary too big for the matrix budget falls back to the join
+    fb = dedup.minhash_jaccard_pairs(d, threshold=0.62, bitset_max_bytes=0)
+    assert "MapInPandas" not in _formatted_plan(fb)
+    assert {(r.a, r.b) for r in fb.collect()} == ref.keys()

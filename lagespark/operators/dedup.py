@@ -412,8 +412,18 @@ def _refine_bitset(cand: DataFrame, sh: DataFrame, id_col: str,
         bids, bmat, bsizes = bc.value
         for b in batches:
             a_v, b_v = b["a"].to_numpy(), b["b"].to_numpy()
-            ia = np.searchsorted(bids, a_v)
-            ib = np.searchsorted(bids, b_v)
+            ia = np.minimum(np.searchsorted(bids, a_v), len(bids) - 1)
+            ib = np.minimum(np.searchsorted(bids, b_v), len(bids) - 1)
+            # every candidate id comes from the collected set by
+            # construction; a silent searchsorted miss would read another
+            # doc's bit row, so fail loudly instead
+            if len(a_v) and not (
+                (bids[ia] == a_v).all() and (bids[ib] == b_v).all()
+            ):
+                raise RuntimeError(
+                    "bitset refine: candidate id missing from the broadcast "
+                    "shingle-set table"
+                )
             inter = _popcount64(bmat[ia] & bmat[ib]).sum(axis=1).astype(np.int64)
             union = bsizes[ia] + bsizes[ib] - inter
             with np.errstate(invalid="ignore", divide="ignore"):

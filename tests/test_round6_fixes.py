@@ -288,3 +288,34 @@ def test_minhash_jaccard_bitset_refine_matches_join_path(spark):
     fb = dedup.minhash_jaccard_pairs(d, threshold=0.62, bitset_max_bytes=0)
     assert "MapInPandas" not in _formatted_plan(fb)
     assert {(r.a, r.b) for r in fb.collect()} == ref.keys()
+
+
+def test_minhash_jaccard_bitset_string_ids_and_random_corpora(spark):
+    """The bitset refine must hold its join-path parity for non-numeric ids
+    (np.argsort/searchsorted on object arrays) and across randomized small
+    corpora — not just the harness fixture."""
+    import random
+
+    from lagespark.operators import dedup
+
+    rng = random.Random(7)
+    vocab = ["alpha", "bravo", "cargo", "delta", "echo", "forge", "gamma"]
+    rows = []
+    for i in range(60):
+        words = [rng.choice(vocab) for _ in range(rng.randint(3, 12))]
+        rows.append((f"doc-{i:03d}", " ".join(words)))
+    # inject exact + near duplicates
+    for i in range(0, 60, 7):
+        rows.append((f"dup-{i:03d}", rows[i][1]))
+        rows.append((f"near-{i:03d}", rows[i][1] + " omega"))
+    d = spark.createDataFrame(rows, "doc_id string, text string")
+    fast = dedup.minhash_jaccard_pairs(
+        d, id_col="doc_id", threshold=0.5
+    )
+    slow = dedup.minhash_jaccard_pairs(
+        d, id_col="doc_id", threshold=0.5, bitset_max_hashes=0
+    )
+    got = {(r.a, r.b): r.jaccard for r in fast.collect()}
+    ref = {(r.a, r.b): r.jaccard for r in slow.collect()}
+    assert got.keys() == ref.keys() and got
+    assert all(got[k] == ref[k] for k in got)

@@ -65,6 +65,36 @@ def fit_band_rows(perms: int, threshold: float) -> int:
     return best
 
 
+def fit_banding(
+    threshold: float, min_recall: float = 0.95, max_perms: int = 256
+) -> tuple[int, int]:
+    """(perms, band_rows) for a target refine threshold AND a floor on
+    at-threshold recall — the knob ADVICE r5 asked for: fit_band_rows
+    alone pins the S-curve midpoint at-or-below the threshold (bounded
+    candidate volume) but leaves collision probability AT the threshold
+    wherever the divisor grid puts it (e.g. perms=8/r=4 → ~0.88 at
+    J=0.9). More permutations refine the divisor grid AND multiply bands
+    at the same rows-per-band, so recall at J=threshold —
+    1-(1-J^r)^(perms/r) — climbs toward 1 while t* stays matched.
+
+    Returns the SMALLEST perms on a divisor-rich ladder whose matched
+    banding reaches `min_recall` at J=threshold (signature cost is linear
+    in perms — don't pay 128 hashes when 16 suffice). Raises if max_perms
+    cannot reach the floor (thresholds near 0 want a different scheme)."""
+    perms = 8
+    while perms <= max_perms:
+        r = fit_band_rows(perms, threshold)
+        b = perms // r
+        recall = 1.0 - (1.0 - threshold ** r) ** b
+        if recall >= min_recall:
+            return perms, r
+        perms += 8
+    raise ValueError(
+        f"fit_banding: no perms <= {max_perms} reaches recall "
+        f"{min_recall} at J={threshold}"
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups by content digest → (h, n, keeper)."""
     return (

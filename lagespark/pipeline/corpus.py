@@ -60,7 +60,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--dedup-band-rows", type=int, default=4,
         help="LSH rows per band (default 4: J*~0.84, at-threshold "
-        "J=0.9 recall ~0.88; use 2 for recall ~1 at ~8x candidates)",
+        "J=0.9 recall ~0.88; use 2 for recall ~1 at ~8x candidates). "
+        "To RAISE at-threshold recall without the candidate blow-up, "
+        "raise --dedup-perms instead and set both from "
+        "dedup.fit_banding(threshold, min_recall) — e.g. (16, 4) reaches "
+        "recall ~0.99 at J=0.9",
+    )
+    p.add_argument(
+        "--dedup-perms", type=int, default=8,
+        help="MinHash permutations (more perms = finer banding grid and "
+        "more bands at the same rows-per-band -> higher at-threshold "
+        "recall; signature cost is linear in perms)",
     )
     p.add_argument("--decon-ngram", type=int, default=20)
     p.add_argument("--pack-budget", type=int, default=512)
@@ -180,7 +190,16 @@ def run(args) -> dict:
         (F.col("tok") >= args.min_tokens)
         & (F.col("punct_ratio") <= args.max_punct_ratio)
     )
-    clean, m1 = stage(lambda: clean, clean_dir, "clean", [src_fp])
+    # stage inputs carry the upstream identity AND the stage's own
+    # parameters: a changed flag must invalidate the checkpoint on
+    # --resume exactly like changed data does (stage_done compares the
+    # full list) — otherwise e.g. a different --dedup-band-rows would
+    # silently serve the old pair set
+    clean, m1 = stage(
+        lambda: clean, clean_dir, "clean",
+        [src_fp, f"min_tokens={args.min_tokens}",
+         f"max_punct_ratio={args.max_punct_ratio}"],
+    )
 
     # stage 2: dedup — LSH candidates over the NORMALIZED text, refined by
     # exact n-gram Jaccard (only candidates pay the set comparison), then
@@ -190,6 +209,7 @@ def run(args) -> dict:
     def _build_dedup():
         pairs = dedup.minhash_jaccard_pairs(
             clean, id_col="doc_id", text_col="norm",
+            perms=args.dedup_perms,
             band_rows=args.dedup_band_rows, threshold=args.dedup_jaccard,
         )
         return dedup.dedup_corpus(clean, pairs=pairs, id_col="doc_id")
@@ -197,7 +217,12 @@ def run(args) -> dict:
     # inputs = upstream MANIFEST IDS (not paths): a rebuilt upstream stage
     # gets a fresh id, so stage_done/write_stage invalidate downstream
     # checkpoints instead of serving stale data (see pipeline/cli.py)
-    kept, m2 = stage(_build_dedup, dedup_dir, "dedup", [m1["manifest_id"]])
+    kept, m2 = stage(
+        _build_dedup, dedup_dir, "dedup",
+        [m1["manifest_id"], f"perms={args.dedup_perms}",
+         f"band_rows={args.dedup_band_rows}",
+         f"jaccard={args.dedup_jaccard}"],
+    )
 
     # stage 3: decon — drop docs overlapping the eval holdout
     decon_dir = os.path.join(args.out, "decon")
@@ -212,14 +237,18 @@ def run(args) -> dict:
         ).select("doc_id")
         return corpus.join(contaminated, "doc_id", "left_anti")
 
-    deconned, m3 = stage(_build_decon, decon_dir, "decon", [m2["manifest_id"]])
+    deconned, m3 = stage(
+        _build_decon, decon_dir, "decon",
+        [m2["manifest_id"], f"ngram={args.decon_ngram}", "keys=xxhash64"],
+    )
 
     # stage 4: mix — per-language deterministic downsampling
     mix_dir = os.path.join(args.out, "mix")
     rates = dict(kv.split(":") for kv in args.mix_rates.split(",") if kv)
     pred = text.stratified_sample_pred("text", "lang", rates, "spark")
     mixed, m4 = stage(
-        lambda: deconned.filter(F.expr(pred)), mix_dir, "mix", [m3["manifest_id"]]
+        lambda: deconned.filter(F.expr(pred)), mix_dir, "mix",
+        [m3["manifest_id"], f"rates={args.mix_rates}"],
     )
 
     # stage 5: pack — greedy cumulative-token chunking per (lang, hash-bucket)
@@ -235,7 +264,10 @@ def run(args) -> dict:
     ).selectExpr(
         "doc_id", "lang", "bucket", "tok", f"{run_sql} AS running"
     ).selectExpr("doc_id", "lang", "bucket", "tok", f"{pack_sql} AS pack_id")
-    packs, m5 = stage(lambda: running, pack_dir, "packs", [m4["manifest_id"]])
+    packs, m5 = stage(
+        lambda: running, pack_dir, "packs",
+        [m4["manifest_id"], f"budget={args.pack_budget}"],
+    )
 
     def _rows(man: dict) -> int:
         return sum(p["rows"] for p in man["partitions"].values())

@@ -195,18 +195,37 @@ def test_corpus_pipeline_end_to_end_and_resume(spark, tmp_path):
     # so pointing the same --out at a different/regenerated --sf-dir
     # invalidates the whole chain instead of serving the stale clean stage.
     src_fp = corpus._fingerprint("/root/testdata/sf0.001/documents.parquet")
+    # stage inputs = upstream identity + the stage's OWN parameters (late
+    # round 6): a changed flag invalidates the checkpoint like changed
+    # data does
+    params = {
+        "clean": ["min_tokens=5", "max_punct_ratio=0.3"],
+        "dedup": ["perms=8", "band_rows=4", "jaccard=0.9"],
+        "decon": ["ngram=20", "keys=xxhash64"],
+        "mix": ["rates=en:4000,de:8000"],
+        "packs": ["budget=512"],
+    }
     chain = [("clean", []), ("dedup", ["clean"]), ("decon", ["dedup"]),
              ("mix", ["decon"]), ("packs", ["mix"])]
     for st, ups in chain:
         inputs = [manifest.read_manifest(f"{out}/{u}")["manifest_id"] for u in ups]
         if st == "clean":
             inputs = [src_fp]
-        assert manifest.stage_done(f"{out}/{st}", inputs), st
+        assert manifest.stage_done(f"{out}/{st}", inputs + params[st]), st
     # lineage invalidation: a REBUILT upstream (different manifest_id) must
     # flip downstream stage_done to False — stale data is never served
-    assert not manifest.stage_done(f"{out}/{'dedup'}", ["not-the-real-id"])
-    # ...and a CHANGED source must flip stage 1 itself (ADVICE round-4 fix)
-    assert not manifest.stage_done(f"{out}/clean", ["src:/other:deadbeef"])
+    dedup_id = manifest.read_manifest(f"{out}/clean")["manifest_id"]
+    assert not manifest.stage_done(
+        f"{out}/dedup", ["not-the-real-id"] + params["dedup"]
+    )
+    # ...a CHANGED source must flip stage 1 itself (ADVICE round-4 fix)
+    assert not manifest.stage_done(
+        f"{out}/clean", ["src:/other:deadbeef"] + params["clean"]
+    )
+    # ...and a CHANGED stage parameter must flip the stage on its own
+    assert not manifest.stage_done(
+        f"{out}/dedup", [dedup_id, "perms=8", "band_rows=2", "jaccard=0.9"]
+    )
 
     args2 = corpus.build_parser().parse_args(
         ["--out", out, "--sf-dir", "/root/testdata/sf0.001", "--resume"]

@@ -319,3 +319,25 @@ def test_minhash_jaccard_bitset_string_ids_and_random_corpora(spark):
     ref = {(r.a, r.b): r.jaccard for r in slow.collect()}
     assert got.keys() == ref.keys() and got
     assert all(got[k] == ref[k] for k in got)
+
+
+def test_fit_banding_recall_floor():
+    """fit_banding returns the smallest perms whose threshold-matched
+    banding reaches the at-threshold recall floor (pure arithmetic)."""
+    from lagespark.operators import dedup
+
+    # the documented example: perms=8/r=4 gives ~0.88 at J=0.9; 16 perms
+    # (r=4, b=4) lifts recall to ~0.99
+    assert dedup.fit_banding(0.9, 0.95) == (16, 4)
+    for thr in (0.62, 0.8, 0.9, 0.95):
+        for floor in (0.8, 0.9, 0.95, 0.99):
+            perms, r = dedup.fit_banding(thr, floor)
+            b = perms // r
+            assert (1.0 / b) ** (1.0 / r) <= thr + 1e-12  # midpoint matched
+            assert 1.0 - (1.0 - thr ** r) ** b >= floor   # recall floor met
+            # minimality: EVERY smaller ladder step misses the floor
+            # (recall is not monotonic in perms — r jumps with the
+            # divisor grid — so check them all)
+            for p2 in range(8, perms, 8):
+                r2 = dedup.fit_band_rows(p2, thr)
+                assert 1.0 - (1.0 - thr ** r2) ** (p2 // r2) < floor

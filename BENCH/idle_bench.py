@@ -52,6 +52,9 @@ def main() -> int:
     while time.time() < deadline:
         c = _cal()
         record["polls"].append(round(c))
+        with open(args.out, "w") as f:  # flush per poll: observability
+            json.dump(record, f, indent=1)
+        print(f"{time.strftime('%H:%M:%S')} cal={c:,.0f}", flush=True)
         if c >= args.gate:
             streak += 1
         else:

@@ -279,3 +279,36 @@ def q103(spark, sf):
     pred = _text.stratified_sample_pred("text", "lang", _MIX_RATES, "spark")
     d = T(spark, sf, "documents").selectExpr("doc_id", "text", f"{lang} AS lang")
     return d.filter(F.expr(pred)).select("doc_id", "lang")
+
+
+# ===========================================================================
+# streaming ingest dedup, batch-equivalence mode (round 6): first-writer-wins
+# LSH band claims — the batch replay of streaming.ops.dedup_stream_minhash
+# (real streaming execution + cross-batch state pinned in
+# tests/test_streaming.py)
+# ===========================================================================
+
+
+def _q104_oracle() -> str:
+    # same (sh, sig, keys) CTE chain as the q72 pair oracle, then the
+    # first-writer window: documents carries no ingest timestamp, so
+    # arrival order is doc_id (the documented batch surrogate)
+    return _dedup.band_keys_ctes_sql() + """
+SELECT doc_id, band, dup_of FROM (
+  SELECT doc_id, band,
+    ROW_NUMBER() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rn,
+    FIRST_VALUE(doc_id) OVER (PARTITION BY band, band_key ORDER BY doc_id)
+      AS dup_of
+  FROM keys) WHERE rn > 1
+"""
+
+
+@q("q104-dedup-ingest-claims", _q104_oracle())
+def q104(spark, sf):
+    """Near-dup suppression at INGEST (streaming dedup, batch-equivalence
+    mode): each (band, band_key) is owned by the earliest-arriving doc;
+    later docs sharing the key emit claim rows (doc_id, band, dup_of).
+    The md5-oracle signature path keeps this SQL-checkable; the streaming
+    twin runs the production xxhash64 path with one write-once state entry
+    per band key."""
+    return ops.ingest_claims_batch(T(spark, sf, "documents"))

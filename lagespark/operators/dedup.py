@@ -141,7 +141,13 @@ def shingles_sql(text_col: str = "text", n: int = 3) -> str:
 
 
 def minhash_signature(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", perms: int = 8, n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    perms: int = 8,
+    n: int = 3,
+    keep: tuple[str, ...] = (),
+    spread: bool = True,
 ) -> DataFrame:
     """(id, mh0..mh{perms-1}): MinHash signature. Permutation p takes the
     15-hex-char substring of md5(shingle) at offset 2p+1 and MINs it over
@@ -159,7 +165,13 @@ def minhash_signature(
     whole signature is ONE codegen projection per document: no (doc, shingle)
     row explosion, no groupBy shuffle. The values are identical to the
     exploded unnest+GROUP BY formulation the DuckDB oracle runs (min over
-    the same distinct shingle set)."""
+    the same distinct shingle set).
+
+    `keep` threads extra columns (e.g. an ingest timestamp) through the
+    signature projection; `spread=False` skips the _spread repartition —
+    required on STREAMING DataFrames (_spread probes .rdd, which streams
+    don't expose; a stream's parallelism comes from its source + the
+    downstream shuffle anyway)."""
     assert perms <= 9
 
     # drop docs with null/empty shingle sets: a fold over an empty/null
@@ -169,11 +181,18 @@ def minhash_signature(
     # null-text doc. The DuckDB oracle's unnest drops these rows naturally,
     # so the filter also keeps the dialects aligned. size(NULL) = -1, so
     # > 0 covers both cases.
-    sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), shingle_col(text_col, n, distinct=False).alias("shs")
+    base = df.select(F.col(id_col), F.col(text_col), *[F.col(c) for c in keep])
+    if spread:
+        base = _spread(base)
+    sh = base.select(
+        F.col(id_col),
+        shingle_col(text_col, n, distinct=False).alias("shs"),
+        *[F.col(c) for c in keep],
     ).filter(F.size("shs") > 0)
     hs = sh.select(
-        F.col(id_col), F.transform(F.col("shs"), lambda s: F.md5(s)).alias("hs")
+        F.col(id_col),
+        F.transform(F.col("shs"), lambda s: F.md5(s)).alias("hs"),
+        *[F.col(c) for c in keep],
     )
     # ONE aggregate fold with a struct-of-mins accumulator instead of
     # perms×(transform + array_min) — avoids materializing `perms` derived
@@ -197,10 +216,51 @@ def minhash_signature(
         )
 
     return hs.select(
-        F.col(id_col), F.aggregate("hs", init, _merge).alias("_mh")
+        F.col(id_col),
+        F.aggregate("hs", init, _merge).alias("_mh"),
+        *[F.col(c) for c in keep],
     ).select(
         F.col(id_col),
         *[F.col(f"_mh.m{p}").alias(f"mh{p}") for p in range(perms)],
+        *[F.col(c) for c in keep],
+    )
+
+
+def band_keys_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    perms: int = 8,
+    band_rows: int = 2,
+    n: int = 3,
+    keep: tuple[str, ...] = (),
+    spread: bool = True,
+) -> DataFrame:
+    """(id, band, band_key, *keep): one row per (doc, LSH band) on the
+    md5-oracle signature path — the per-doc half of minhash_pairs, shared
+    with streaming ingest dedup (streaming.ops.dedup_stream_minhash passes
+    spread=False and keep=('ts',)). The SQL mirror of the (sh, sig, keys)
+    chain is band_keys_ctes_sql."""
+    sig = minhash_signature(df, id_col, text_col, perms, n, keep, spread)
+    bands = perms // band_rows
+    bk = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col), F.explode(bk).alias("bk"), *[F.col(c) for c in keep]
+    ).select(
+        id_col,
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+        *keep,
     )
 
 
@@ -216,23 +276,9 @@ def minhash_pairs(
     signature. bands = perms / band_rows. Each doc explodes to one row per
     band key; the self-join runs per (band, key) bucket — at scale the key
     space is uniform (md5) so the shuffle partitions evenly."""
-    sig = minhash_signature(df, id_col, text_col, perms, n)
-    bands = perms // band_rows
-    band_keys = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|", *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
+    return _bucket_pairs(
+        band_keys_md5(df, id_col, text_col, perms, band_rows, n), id_col
     )
-    keys = sig.select(F.col(id_col), F.explode(band_keys).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
-    )
-    return _bucket_pairs(keys, id_col)
 
 
 def _bucket_pairs(keys: DataFrame, id_col: str) -> DataFrame:
@@ -280,9 +326,32 @@ def minhash_pairs_fast(
     one codegen projection per document, no shingle-row explosion and no
     groupBy shuffle; the only shuffle in the whole operator is the (band,
     band_key) bucket groupBy, whose keys are uniform int64."""
+    return _bucket_pairs(
+        band_keys_fast(df, id_col, text_col, perms, band_rows, n), id_col
+    )
+
+
+def band_keys_fast(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    perms: int = 8,
+    band_rows: int = 2,
+    n: int = 3,
+    keep: tuple[str, ...] = (),
+    spread: bool = True,
+) -> DataFrame:
+    """(id, band, band_key, *keep) on the PRODUCTION int64-xxhash64
+    signature path — the per-doc half of minhash_pairs_fast, shared with
+    streaming ingest dedup (keep/spread semantics as band_keys_md5)."""
     # null/empty-shingle filter — same rationale as minhash_signature
-    sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), shingle_col(text_col, n, distinct=False).alias("shs")
+    base = df.select(F.col(id_col), F.col(text_col), *[F.col(c) for c in keep])
+    if spread:
+        base = _spread(base)
+    sh = base.select(
+        F.col(id_col),
+        shingle_col(text_col, n, distinct=False).alias("shs"),
+        *[F.col(c) for c in keep],
     ).filter(F.size("shs") > 0)
     # ONE aggregate pass with a `perms`-field struct accumulator instead of
     # `perms` separate transform+array_min projections: the latter
@@ -305,13 +374,16 @@ def minhash_pairs_fast(
         )
 
     sig = sh.select(
-        F.col(id_col), F.aggregate("shs", init, _merge).alias("_mh")
+        F.col(id_col),
+        F.aggregate("shs", init, _merge).alias("_mh"),
+        *[F.col(c) for c in keep],
     ).select(
         F.col(id_col),
         *[F.col(f"_mh.m{p}").alias(f"mh{p}") for p in range(perms)],
+        *[F.col(c) for c in keep],
     )
     bands = perms // band_rows
-    band_keys = F.array(
+    bk = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
@@ -322,17 +394,23 @@ def minhash_pairs_fast(
             for b in range(bands)
         ]
     )
-    keys = sig.select(F.col(id_col), F.explode(band_keys).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    return sig.select(
+        F.col(id_col), F.explode(bk).alias("bk"), *[F.col(c) for c in keep]
+    ).select(
+        id_col,
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+        *keep,
     )
-    return _bucket_pairs(keys, id_col)
 
 
-def minhash_pairs_sql(
+def band_keys_ctes_sql(
     perms: int = 8, band_rows: int = 2, n: int = 3, source: str = "documents",
     id_col: str = "doc_id", text_col: str = "text",
 ) -> str:
-    """DuckDB mirror of minhash_pairs (same md5 math, same band keys)."""
+    """DuckDB CTE prefix ending in `keys(id, band, band_key)` — the SQL
+    mirror of band_keys_md5, shared by the q72 pair oracle and the q104
+    ingest-claims oracle."""
     mins = ", ".join(
         f"MIN(substr(h, {2 * p + 1}, 15)) AS mh{p}" for p in range(perms)
     )
@@ -351,7 +429,15 @@ sig AS (
   SELECT {id_col}, {mins} FROM (SELECT {id_col}, md5(sh) AS h FROM sh)
   GROUP BY {id_col}
 ),
-keys AS ({unions})
+keys AS ({unions})"""
+
+
+def minhash_pairs_sql(
+    perms: int = 8, band_rows: int = 2, n: int = 3, source: str = "documents",
+    id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    """DuckDB mirror of minhash_pairs (same md5 math, same band keys)."""
+    return band_keys_ctes_sql(perms, band_rows, n, source, id_col, text_col) + f"""
 SELECT DISTINCT a.{id_col} AS a, b.{id_col} AS b
 FROM keys a JOIN keys b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.{id_col} < b.{id_col}

@@ -304,3 +304,108 @@ def spatiotemporal_rollup_stream(
             "total",
         )
     )
+
+
+# -- streaming near-dup suppression at ingest ---------------------------------
+
+
+def ingest_claims_batch(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order_col: str | None = None,
+    perms: int = 8,
+    band_rows: int = 2,
+    n: int = 3,
+    hashed: bool = False,
+) -> DataFrame:
+    """BATCH first-writer-wins LSH claims — the batch-replay equivalent of
+    dedup_stream_minhash, and the oracle surface for q104.
+
+    For each (band, band_key) bucket, the earliest row in arrival order
+    (`order_col`, then `id_col` — id alone when order_col is None, the
+    documents-table surrogate for ingest order) OWNS the key; every later
+    doc holding that key emits a claim row (id, band, dup_of=owner). A doc
+    with ≥ 1 claim is a near-duplicate of an earlier doc at the banding's
+    collision threshold — the same verdict the streaming op reaches
+    incrementally, state replaced by a window function."""
+    from pyspark.sql import Window
+
+    from lagespark.operators import dedup
+
+    builder = dedup.band_keys_fast if hashed else dedup.band_keys_md5
+    keep = (order_col,) if order_col else ()
+    keys = builder(docs, id_col, text_col, perms, band_rows, n, keep=keep)
+    order = [F.col(order_col), F.col(id_col)] if order_col else [F.col(id_col)]
+    w = Window.partitionBy("band", "band_key").orderBy(*order)
+    k = keys.select(
+        F.col(id_col),
+        "band",
+        F.row_number().over(w).alias("_rn"),
+        F.first(id_col).over(w).alias("dup_of"),
+    )
+    return k.filter(F.col("_rn") > 1).select(id_col, "band", "dup_of")
+
+
+def dedup_stream_minhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    perms: int = 8,
+    band_rows: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """STREAMING near-dup suppression at ingest: documents arrive as a
+    stream (id, text, ts); emits the CLAIMS stream (id, band, dup_of) —
+    one row per LSH band of an arriving doc whose band key is already
+    OWNED by an earlier doc. A doc with ≥ 1 claim is a near-duplicate of
+    the claimed owner(s); the suppressed corpus is `docs` anti-joined to
+    the distinct claimed ids downstream (foreachBatch or the batch layer).
+
+    Shape for 100 TB ingest: the only shuffle is the (band, band_key)
+    groupBy — uniform int64 keys (production xxhash64 signature path), and
+    only the SKINNY (id, ts, band, key) projection crosses it (the text
+    never leaves the stateless signature stage, same discipline as the
+    batch pair finders). State is one (owner, since) entry per distinct
+    band key — linear in corpus size, RocksDB-backed at scale, and
+    first-writer-wins means state entries are write-once. Within a
+    micro-batch, rows are applied in (ts, id) order, so replaying the
+    same files through any batch partitioning yields the same claims as
+    ingest_claims_batch(order_col="ts") — test-pinned equivalence in
+    tests/test_streaming.py."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from lagespark.operators import dedup
+
+    docs = docs.withColumn("ts", F.col("ts").cast("timestamp"))
+    keys = dedup.band_keys_fast(
+        docs, id_col, text_col, perms, band_rows, n, keep=("ts",), spread=False
+    )
+    id_t = docs.schema[id_col].dataType.simpleString()
+
+    def fn(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", id_col], kind="mergesort")
+        owner, since_us = state.get if state.exists else (None, 0)
+        out_id, out_band, out_owner = [], [], []
+        for r in rows.itertuples(index=False):
+            rid = getattr(r, id_col)
+            if owner is None:
+                owner = rid
+                since_us = int(getattr(r, "ts").value // 1000)
+            elif rid != owner:
+                out_id.append(rid)
+                out_band.append(key[0])
+                out_owner.append(owner)
+        state.update((owner, since_us))
+        yield pd.DataFrame(
+            {id_col: out_id, "band": out_band, "dup_of": out_owner}
+        )
+
+    return keys.groupBy("band", "band_key").applyInPandasWithState(
+        fn,
+        outputStructType=f"{id_col} {id_t}, band int, dup_of {id_t}",
+        stateStructType=f"owner {id_t}, since_us bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

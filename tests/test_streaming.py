@@ -490,3 +490,125 @@ def test_rate_source_to_events_shape(spark, tmpdir):
     got = spark.sql(f"SELECT * FROM {name}").toPandas()
     assert len(got) > 0
     assert set(got.columns) == {"event_id", "ts", "user_id", "event_type", "value", "props"}
+
+
+# -- streaming near-dup suppression at ingest ---------------------------------
+
+
+def _doc_corpus():
+    """Two explicit ingest batches with cross-batch duplicates: batch 2
+    carries exact copies and near-dups of batch-1 docs (plus fresh ones),
+    so claims must resolve against batch-1 owners through the state."""
+    import random
+
+    rng = random.Random(11)
+    letters = "abcdefghijklmnopqrstuvwxyz "
+    base = [
+        "".join(rng.choice(letters) for _ in range(90)) for _ in range(14)
+    ]
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    b1, b2, i = [], [], 0
+    for t in base:
+        b1.append((i, t, t0 + pd.Timedelta(seconds=i)))
+        i += 1
+    for j, t in enumerate(base):
+        if j % 3 == 0:  # exact cross-batch dup
+            b2.append((i, t, t0 + pd.Timedelta(seconds=100 + i)))
+            i += 1
+        elif j % 3 == 1:  # near-dup: tail tweak
+            b2.append((i, t[:-5] + "qzjxv", t0 + pd.Timedelta(seconds=100 + i)))
+            i += 1
+    for _ in range(4):  # fresh batch-2 docs
+        b2.append(
+            (
+                i,
+                "".join(rng.choice(letters) for _ in range(90)),
+                t0 + pd.Timedelta(seconds=100 + i),
+            )
+        )
+        i += 1
+    return b1, b2
+
+
+def _mk_docs(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+    return spark.createDataFrame(pdf)
+
+
+def test_ingest_claims_batch_matches_independent_reference(spark):
+    """q104 semantics vs a hashlib/pure-python replay of the md5 MinHash
+    banding + first-writer-wins rule (independent of every Spark/SQL
+    expression in the implementation)."""
+    import hashlib
+
+    b1, b2 = _doc_corpus()
+    docs = _mk_docs(spark, b1 + b2).drop("ts")
+    got = {
+        (r.doc_id, r.band, r.dup_of)
+        for r in ops.ingest_claims_batch(docs).collect()
+    }
+
+    perms, band_rows, n = 8, 2, 3
+    owners: dict = {}
+    want = set()
+    for doc_id, text, _ in sorted(b1 + b2):  # arrival order = doc_id
+        shingles = {text[k : k + n] for k in range(len(text) - n + 1)}
+        if not shingles:
+            continue
+        hs = [hashlib.md5(s.encode()).hexdigest() for s in shingles]
+        mh = [min(h[2 * p : 2 * p + 15] for h in hs) for p in range(perms)]
+        for b in range(perms // band_rows):
+            key = (
+                b,
+                "|".join(mh[b * band_rows + r] for r in range(band_rows)),
+            )
+            if key in owners:
+                if owners[key] != doc_id:
+                    want.add((doc_id, b, owners[key]))
+            else:
+                owners[key] = doc_id
+    assert got == want and len(want) > 0
+
+
+def test_stream_dedup_minhash_matches_batch_replay(spark, tmpdir):
+    """Streaming claims across TWO real micro-batches == the batch replay
+    (ingest_claims_batch on the production xxhash64 path, ts order); exact
+    cross-batch duplicates claim their batch-1 owner in EVERY band."""
+    b1, b2 = _doc_corpus()
+    src = f"{tmpdir}/docs_src"
+    _mk_docs(spark, b1).write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, ts timestamp"
+    ).parquet(src)
+    name = "dd" + uuid.uuid4().hex[:8]
+    q = (
+        ops.dedup_stream_minhash(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/dd_ck")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_b1 = spark.sql(f"SELECT COUNT(*) FROM {name}").first()[0]
+        _mk_docs(spark, b2).write.parquet(src, mode="append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got_pdf = spark.sql(f"SELECT * FROM {name}").toPandas()
+    got = {(r.doc_id, r.band, r.dup_of) for r in got_pdf.itertuples()}
+
+    want_df = ops.ingest_claims_batch(
+        _mk_docs(spark, b1 + b2), order_col="ts", hashed=True
+    )
+    want = {(r.doc_id, r.band, r.dup_of) for r in want_df.collect()}
+    assert got == want and len(want) > 0
+    # batch-1 alone has no duplicates; every claim arrived in batch 2
+    assert n_b1 == 0 and len(got_pdf) == len(got)
+    # exact cross-batch dups claim their batch-1 owner in ALL 4 bands
+    texts1 = {t: d for d, t, _ in b1}
+    for d2, t2, _ in b2:
+        if t2 in texts1:
+            bands = {b for (d, b, o) in got if d == d2 and o == texts1[t2]}
+            assert bands == {0, 1, 2, 3}, (d2, bands)

@@ -346,6 +346,49 @@ def run_refine(spark, n: int, parts: int) -> None:
     assert res[0]["pairs"] >= n // 2000, res[0]["pairs"]
 
 
+def _ingest_src(spark, n: int, parts: int) -> str:
+    """Materialized realistic-density corpus WITH an ingest timestamp for
+    run_ingest (ts = epoch + doc_id seconds — arrival order is doc order);
+    pre-materialized parquet for the same reason as _refine_src."""
+    path = f"/tmp/lagespark_scale_ingest_src_v1_{n}"
+    dest = os.path.join(path, "documents.parquet")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        _docs(spark, n, parts, dup_every=1000).withColumn(
+            "ts", F.timestamp_seconds(F.col("doc_id"))
+        ).write.mode("overwrite").parquet(dest)
+    return dest
+
+
+def run_ingest(spark, n: int, parts: int) -> None:
+    """q104-shaped STREAMING near-dup ingest: dedup_stream_minhash over an
+    availableNow file stream of n docs — the real applyInPandasWithState
+    path (state store + stateful shuffle included), fresh checkpoint per
+    run so every timed run reprocesses the full input. Claims go to the
+    noop sink; the claim volume at realistic density is ~n/1000 so the
+    timed cost is the signature projection + banded stateful shuffle,
+    exactly the ingest regime's bottleneck shape."""
+    import uuid as _uuid
+
+    from lagespark.streaming import ops as _sops
+
+    src = _ingest_src(spark, n, parts)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    q = (
+        _sops.dedup_stream_minhash(stream)
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option(
+            "checkpointLocation",
+            f"/tmp/lagespark_scale_ingest_ck_{_uuid.uuid4().hex}",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _corpus_src(spark, n: int, parts: int) -> str:
     """Deterministic n-doc corpus for the pipeline scaling job, written once
     per size to /tmp and reused by every run/level (generation rides the
@@ -483,6 +526,7 @@ JOBS = {
     "overlay": run_overlay,
     "dedup": run_dedup,
     "refine": run_refine,
+    "ingest": run_ingest,
     "corpus": run_corpus,
 }
 
@@ -521,6 +565,7 @@ def main():
     ap.add_argument("--n-overlay", type=int, default=60_000)
     ap.add_argument("--n-dedup", type=int, default=60_000)
     ap.add_argument("--n-refine", type=int, default=240_000)
+    ap.add_argument("--n-ingest", type=int, default=240_000)
     ap.add_argument("--n-corpus", type=int, default=60_000)
     ap.add_argument("--sizes", default="2,8")
     ap.add_argument("--runs", type=int, default=3)

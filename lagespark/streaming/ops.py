@@ -354,6 +354,7 @@ def dedup_stream_minhash(
     perms: int = 8,
     band_rows: int = 2,
     n: int = 3,
+    state_buckets: int = 256,
 ) -> DataFrame:
     """STREAMING near-dup suppression at ingest: documents arrive as a
     stream (id, text, ts); emits the CLAIMS stream (id, band, dup_of) —
@@ -362,13 +363,23 @@ def dedup_stream_minhash(
     the claimed owner(s); the suppressed corpus is `docs` anti-joined to
     the distinct claimed ids downstream (foreachBatch or the batch layer).
 
-    Shape for 100 TB ingest: the only shuffle is the (band, band_key)
-    groupBy — uniform int64 keys (production xxhash64 signature path), and
-    only the SKINNY (id, ts, band, key) projection crosses it (the text
-    never leaves the stateless signature stage, same discipline as the
-    batch pair finders). State is one (owner, since) entry per distinct
-    band key — linear in corpus size, RocksDB-backed at scale, and
-    first-writer-wins means state entries are write-once. Within a
+    Shape for 100 TB ingest: the only shuffle is the state groupBy —
+    uniform keys, and only the SKINNY (id, ts, band, key) projection
+    crosses it (the text never leaves the stateless signature stage, same
+    discipline as the batch pair finders). The state is NOT keyed by raw
+    (band, band_key): applyInPandasWithState invokes the Python function
+    once per GROUP per micro-batch, so distinct-band-key grouping costs
+    one pandas round-trip per key (~ms each — measured 75 s for 20k docs
+    / 80k keys). Keys hash into `state_buckets` SUPER-BUCKETS instead;
+    each bucket's state is the (band, key) → owner map as parallel
+    arrays, so per-batch Python overhead is O(buckets), claims work is
+    one dict pass, and the map semantics are unchanged (every band key
+    lives in exactly one bucket). Entries are write-once
+    (first-writer-wins); state grows linearly with distinct band keys —
+    inherent to dedup-at-ingest — and `state_buckets` bounds per-group
+    state so it can be sized to executor memory (the whole-map
+    serialize-per-batch cost is the Python-surface trade; the JVM value-
+    state APIs remove it, same seam as running_user_totals_tws). Within a
     micro-batch, rows are applied in (ts, id) order, so replaying the
     same files through any batch partitioning yields the same claims as
     ingest_claims_batch(order_col="ts") — test-pinned equivalence in
@@ -380,32 +391,49 @@ def dedup_stream_minhash(
     docs = docs.withColumn("ts", F.col("ts").cast("timestamp"))
     keys = dedup.band_keys_fast(
         docs, id_col, text_col, perms, band_rows, n, keep=("ts",), spread=False
+    ).withColumn(
+        "bucket",
+        F.pmod(F.xxhash64(F.col("band"), F.col("band_key")), F.lit(state_buckets)),
     )
     id_t = docs.schema[id_col].dataType.simpleString()
 
     def fn(key, pdfs, state: GroupState):
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts", id_col], kind="mergesort")
-        owner, since_us = state.get if state.exists else (None, 0)
+        if state.exists:
+            s_bands, s_keys, s_owners = state.get
+            owned = dict(zip(zip(s_bands, s_keys), s_owners))
+        else:
+            owned = {}
         out_id, out_band, out_owner = [], [], []
         for r in rows.itertuples(index=False):
             rid = getattr(r, id_col)
+            k = (r.band, r.band_key)
+            owner = owned.get(k)
             if owner is None:
-                owner = rid
-                since_us = int(getattr(r, "ts").value // 1000)
-            elif rid != owner:
+                owned[k] = rid
+            elif owner != rid:
                 out_id.append(rid)
-                out_band.append(key[0])
+                out_band.append(r.band)
                 out_owner.append(owner)
-        state.update((owner, since_us))
+        bands_keys = list(owned.keys())
+        state.update(
+            (
+                [bk[0] for bk in bands_keys],
+                [bk[1] for bk in bands_keys],
+                [owned[bk] for bk in bands_keys],
+            )
+        )
         yield pd.DataFrame(
             {id_col: out_id, "band": out_band, "dup_of": out_owner}
         )
 
-    return keys.groupBy("band", "band_key").applyInPandasWithState(
+    return keys.groupBy("bucket").applyInPandasWithState(
         fn,
         outputStructType=f"{id_col} {id_t}, band int, dup_of {id_t}",
-        stateStructType=f"owner {id_t}, since_us bigint",
+        stateStructType=(
+            f"bands array<int>, keys array<bigint>, owners array<{id_t}>"
+        ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

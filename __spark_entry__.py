@@ -64,14 +64,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # FROZEN): (a) the seven queries whose code paths changed this round (S2
 # lattice snap -> q57/q50/q83; q95 single-scan; decontaminate benchmark
 # _spread -> q100; lsh_topk skinny bucket join -> q76; intersects_join_ri
-# native rect-pair path -> q82) go first so the driver re-proves them;
-# (b) the five r3-stale overflow survivors; (c) the
+# native rect-pair path -> q82) go first so the driver re-proves them,
+# preceded by q104 (NEW this round — streaming ingest dedup's
+# batch-equivalence form, zero driver evidence yet, hash-green in my own
+# sf0.01 gate runs); (b) the five r3-stale overflow survivors; (c) the
 # 50-query r4-window set, heavy / rows-only plans first, staleness-refresh.
-# 59 entries vs a ~50-slot budget: the LAST nine are deliberate overflow —
+# 60 entries vs a ~50-slot budget: the LAST ten are deliberate overflow —
 # q34/q35 (sort/limit), q36/q37/q38 (set ops), q29-pivot, q46-scalar-date2,
 # q47-scalar-map are trivial single-operator plans with pytest coverage and
-# 2+ prior all-true driver rows each.
+# 2+ prior all-true driver rows each; q44-scalar-json (displaced by q104)
+# likewise holds r1+r4 all-true rows.
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    # -- round-6 NEW query: first driver evidence --
+    "q104-dedup-ingest-claims",
     # -- round-6 code-touched: re-prove first --
     "q57-geo-s2cell",
     "q50-geo-cell",

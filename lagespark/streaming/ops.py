@@ -355,6 +355,7 @@ def dedup_stream_minhash(
     band_rows: int = 2,
     n: int = 3,
     state_buckets: int = 256,
+    output_mode: str = "update",
 ) -> DataFrame:
     """STREAMING near-dup suppression at ingest: documents arrive as a
     stream (id, text, ts); emits the CLAIMS stream (id, band, dup_of) —
@@ -383,7 +384,14 @@ def dedup_stream_minhash(
     micro-batch, rows are applied in (ts, id) order, so replaying the
     same files through any batch partitioning yields the same claims as
     ingest_claims_batch(order_col="ts") — test-pinned equivalence in
-    tests/test_streaming.py."""
+    tests/test_streaming.py.
+
+    `output_mode` must MATCH the sink's outputMode (Spark rejects the
+    query otherwise): "update" for memory/console, "append" for FILE
+    sinks — claims are emitted exactly once (state is write-once), so the
+    two modes produce identical rows for this operator, and the append +
+    parquet-sink wiring is how a production pipeline persists the claims
+    table for the downstream suppressed-corpus anti-join (test-pinned)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from lagespark.operators import dedup
@@ -434,6 +442,6 @@ def dedup_stream_minhash(
         stateStructType=(
             f"bands array<int>, keys array<bigint>, owners array<{id_t}>"
         ),
-        outputMode="update",
+        outputMode=output_mode,
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

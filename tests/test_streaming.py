@@ -612,3 +612,40 @@ def test_stream_dedup_minhash_matches_batch_replay(spark, tmpdir):
         if t2 in texts1:
             bands = {b for (d, b, o) in got if d == d2 and o == texts1[t2]}
             assert bands == {0, 1, 2, 3}, (d2, bands)
+
+
+def test_stream_dedup_append_file_sink_and_suppressed_corpus(spark, tmpdir):
+    """Production wiring: claims stream → APPEND parquet sink (the operator-
+    level output mode must match the sink's), then the suppressed corpus =
+    docs anti-joined to the claimed ids. Survivors must be exactly the
+    batch replay's survivors."""
+    b1, b2 = _doc_corpus()
+    src = f"{tmpdir}/docs_src2"
+    out = f"{tmpdir}/claims_pq"
+    _mk_docs(spark, b1).write.parquet(src, mode="overwrite")
+    _mk_docs(spark, b2).write.parquet(src, mode="append")
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, ts timestamp"
+    ).parquet(src)
+    q = (
+        ops.dedup_stream_minhash(stream, output_mode="append")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{tmpdir}/dd_ck2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    docs = _mk_docs(spark, b1 + b2)
+    claims = spark.read.parquet(out)
+    survivors = {
+        r.doc_id
+        for r in docs.join(
+            claims.select("doc_id").distinct(), "doc_id", "left_anti"
+        ).collect()
+    }
+    want_claims = ops.ingest_claims_batch(docs, order_col="ts", hashed=True)
+    want_dup = {r.doc_id for r in want_claims.select("doc_id").collect()}
+    assert survivors == {d for d, _, _ in b1 + b2} - want_dup
+    assert len(survivors) < len(b1 + b2)  # something was actually suppressed

@@ -380,11 +380,16 @@ def dedup_stream_minhash(
     inherent to dedup-at-ingest — and `state_buckets` bounds per-group
     state so it can be sized to executor memory (the whole-map
     serialize-per-batch cost is the Python-surface trade; the JVM value-
-    state APIs remove it, same seam as running_user_totals_tws). Within a
-    micro-batch, rows are applied in (ts, id) order, so replaying the
-    same files through any batch partitioning yields the same claims as
-    ingest_claims_batch(order_col="ts") — test-pinned equivalence in
-    tests/test_streaming.py.
+    state APIs remove it, same seam as running_user_totals_tws).
+    Ownership is FIRST-ARRIVAL: within a micro-batch rows are applied in
+    (ts, id) order (deterministic under any partitioning of one batch),
+    and across batches the earlier BATCH wins regardless of ts — so the
+    claims equal ingest_claims_batch(order_col="ts") exactly when
+    micro-batch boundaries respect ts order (monotone ingest, the normal
+    file/queue source shape — test-pinned for that case in
+    tests/test_streaming.py). A source that delivers older-ts docs in
+    later batches keeps the same well-defined arrival-order semantics,
+    just not the ts-window oracle.
 
     `output_mode` must MATCH the sink's outputMode (Spark rejects the
     query otherwise): "update" for memory/console, "append" for FILE

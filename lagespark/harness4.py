@@ -292,14 +292,16 @@ def q103(spark, sf):
 def _q104_oracle() -> str:
     # same (sh, sig, keys) CTE chain as the q72 pair oracle, then the
     # first-writer window: documents carries no ingest timestamp, so
-    # arrival order is doc_id (the documented batch surrogate)
+    # arrival order is doc_id (the documented batch surrogate); the
+    # dup_of <> doc_id guard mirrors ingest_claims_batch's no-self-claim
+    # rule (no-op on the unique-id documents table)
     return _dedup.band_keys_ctes_sql() + """
 SELECT doc_id, band, dup_of FROM (
   SELECT doc_id, band,
     ROW_NUMBER() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rn,
     FIRST_VALUE(doc_id) OVER (PARTITION BY band, band_key ORDER BY doc_id)
       AS dup_of
-  FROM keys) WHERE rn > 1
+  FROM keys) WHERE rn > 1 AND dup_of <> doc_id
 """
 
 

@@ -95,6 +95,45 @@ def fit_banding(
     )
 
 
+def fit_banding_matched(
+    threshold: float, min_recall: float = 0.9, max_perms: int = 64
+) -> tuple[int, int]:
+    """(perms, band_rows) maximizing the S-curve midpoint t* = (1/b)^(1/r)
+    subject to t* <= threshold AND at-threshold recall >= min_recall —
+    the CANDIDATE-VOLUME-first sibling of fit_banding (which minimizes
+    signature cost instead and will happily return the b=4/r=2 banding
+    whose t* ~= 0.5 over-generated 46,000x at a 0.8 threshold —
+    BENCH/BASELINE.md round 6). Scans every divisor pair on the perms
+    ladder, not just each perms' largest-r banding, because the best
+    tradeoff (e.g. perms=48/r=6 at threshold 0.8: t* ~= 0.707, recall
+    0.91) is often not the minimal-perms one. Ties prefer fewer perms
+    (signature cost), then more rows per band (steeper curve = fewer
+    background collisions at equal t*). This is what
+    minhash_jaccard_pairs derives its banding from when the caller
+    passes a threshold but no explicit (perms, band_rows)."""
+    best: tuple[float, int, int] | None = None  # (t*, -(-perms), r) keyed
+    for perms in range(8, max_perms + 1, 8):
+        for r in range(1, perms + 1):
+            if perms % r:
+                continue
+            b = perms // r
+            tstar = (1.0 / b) ** (1.0 / r)
+            if tstar > threshold:
+                continue
+            recall = 1.0 - (1.0 - threshold**r) ** b
+            if recall < min_recall:
+                continue
+            key = (tstar, -perms, r)
+            if best is None or key > (best[0], -best[1], best[2]):
+                best = (tstar, perms, r)
+    if best is None:
+        raise ValueError(
+            f"fit_banding_matched: no banding <= {max_perms} perms reaches "
+            f"recall {min_recall} at J={threshold}"
+        )
+    return best[1], best[2]
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups by content digest → (h, n, keeper)."""
     return (
@@ -479,6 +518,25 @@ def _popcount64(x):
     return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
 
 
+# most-recent bitset-refine broadcast, unpersisted on the next call (see
+# _refine_bitset) so long-lived sessions don't accumulate 256 MB pins
+_BITSET_BCS: list = []
+
+
+def _round_like_spark(x: float, dp: int = 4) -> float:
+    """Spark ROUND(double, 4) bit-exact: HALF_UP on the SHORTEST decimal
+    repr of the double (BigDecimal.valueOf = Double.toString), which
+    Python's repr() also produces. The naive floor(x*1e4+0.5)/1e4 rounds
+    the BINARY value instead and disagrees by 1 ulp-of-4dp on exact
+    halves whose nearest double sits below the half (e.g. 131/160 =
+    0.81875 → binary 0.8187…4999 → 0.8187, Spark → 0.8188) — ADVICE r6.
+    Only emitted pairs pay the scalar cost."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-dp)
+    return float(Decimal(repr(float(x))).quantize(q, ROUND_HALF_UP))
+
+
 def _refine_bitset(cand: DataFrame, sh: DataFrame, id_col: str,
                    threshold: float, max_bytes: int):
     """Config-scale refine: broadcast the candidate docs' hashed shingle
@@ -499,6 +557,17 @@ def _refine_bitset(cand: DataFrame, sh: DataFrame, id_col: str,
     test-pinned in test_dedup_scale_paths.py)."""
     import numpy as np
     import pandas as pd
+
+    # bound session-lifetime broadcast accumulation (ADVICE r6): each call
+    # can pin up to max_bytes on executors; unpersist the PREVIOUS call's
+    # broadcast before building a new one. unpersist (not destroy) keeps a
+    # still-referenced earlier DataFrame re-executable — executors refetch
+    # from the driver on demand — while freeing the executor-side copies.
+    while _BITSET_BCS:
+        try:
+            _BITSET_BCS.pop().unpersist()
+        except Exception:
+            pass
 
     pdf = sh.toPandas()
     n_docs = len(pdf)
@@ -522,6 +591,7 @@ def _refine_bitset(cand: DataFrame, sh: DataFrame, id_col: str,
     order = np.argsort(ids, kind="stable")
     ids_sorted, mat, sizes = ids[order], mat[order], lens[order]
     bc = cand.sparkSession.sparkContext.broadcast((ids_sorted, mat, sizes))
+    _BITSET_BCS.append(bc)
     thr = float(threshold)
 
     def refine(batches):
@@ -549,8 +619,7 @@ def _refine_bitset(cand: DataFrame, sh: DataFrame, id_col: str,
                 {
                     "a": a_v[keep],
                     "b": b_v[keep],
-                    # half-up at 4 dp, matching Spark ROUND on double
-                    "jaccard": np.floor(jac[keep] * 1e4 + 0.5) / 1e4,
+                    "jaccard": [_round_like_spark(v) for v in jac[keep]],
                 }
             )
 
@@ -564,8 +633,8 @@ def minhash_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    perms: int = 8,
-    band_rows: int = 2,
+    perms: int | None = None,
+    band_rows: int | None = None,
     n: int = 3,
     threshold: float = 0.8,
     bitset_max_hashes: int = 16_000_000,
@@ -579,15 +648,18 @@ def minhash_jaccard_pairs(
     the shape a 100 TB near-dup sweep runs — the quadratic exact comparison
     never touches non-candidate pairs.
 
-    MATCH THE BANDING TO THE THRESHOLD at scale: the defaults
-    (perms=8, band_rows=2 → t* ≈ 0.5) keep recall ≈ 0.98 at J=0.8 on
-    small corpora, but at web scale that low S-curve midpoint
-    over-generates candidates quadratically — measured 11.09M candidates
-    for 238 true pairs at 240k docs (BENCH/BASELINE.md round 6). The fix
-    there: raise `perms` for a finer divisor grid and derive
-    `band_rows = fit_band_rows(perms, threshold)` (perms=24/band_rows=6
-    gives t* ≈ 0.79 for a 0.8 threshold), exactly what
-    pipeline/corpus.py and BENCH/scaling.py's refine job do.
+    THE BANDING IS THRESHOLD-MATCHED BY DEFAULT (round 7): when `perms` /
+    `band_rows` are None they derive via fit_banding_matched(threshold) —
+    the config with the highest S-curve midpoint t* ≤ threshold that
+    still keeps at-threshold recall ≥ 0.9 on a ≤ 64-perm ladder
+    (threshold 0.8 → perms=48/band_rows=6, t* ≈ 0.707). The old static
+    default (perms=8, band_rows=2 → t* ≈ 0.5) over-generated candidates
+    quadratically at web scale — measured 11.09M candidates for 238 true
+    pairs at 240k docs (BENCH/BASELINE.md round 6) — a trap every new
+    call site fell into until it read this paragraph; deriving from the
+    threshold closes it at the API. Explicit (perms, band_rows) still
+    win — pipeline/corpus.py exposes them as flags for the recall/volume
+    trade its --help documents.
 
     The refine itself is adaptive (round 6): when the candidate docs'
     total shingle-hash count fits `bitset_max_hashes` (collect budget) and
@@ -596,6 +668,10 @@ def minhash_jaccard_pairs(
     pair stream — the arrays cross the wire once instead of once per pair
     (see _refine_bitset). Otherwise the original per-pair array join runs
     unchanged — that's the data-scale path."""
+    if perms is None:
+        perms, band_rows = fit_banding_matched(threshold)
+    elif band_rows is None:
+        band_rows = fit_band_rows(perms, threshold)
     cand = minhash_pairs_fast(df, id_col, text_col, perms, band_rows, n)
     # cand feeds BOTH the candidate-id semi-join below and the pair join —
     # EAGER checkpoint, same reasoning as components() at :474: the two

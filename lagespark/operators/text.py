@@ -71,24 +71,42 @@ def token_count_bpeish_expr(col: str, dialect: str) -> str:
     return f"CAST(len(regexp_extract_all({col}, '{BPE_ISH_RE}')) AS INT)"
 
 
-# ASCII chars outside the kept alphabet, for translate()-based stripping.
-# The printable ones ride a plain literal; quote (39), backslash (92) and
-# the control range go through chr() — Spark string literals process
-# backslash escapes while DuckDB's are raw, so keeping BOTH dialects on
-# chr() for those bytes sidesteps the escaping gap entirely.
+# Latin-1 chars outside the kept alphabet, for translate()-based stripping.
+# The printable ASCII ones ride a plain literal; quote (39), backslash (92),
+# the control ranges, and every non-ASCII codepoint go through chr() —
+# Spark string literals process backslash escapes while DuckDB's are raw,
+# so keeping BOTH dialects on chr() for those sidesteps the escaping gap
+# (and keeps the source file ASCII). chr() is CODEPOINT-based in both
+# engines (verified: Spark chr(233)='é' = DuckDB chr(233)), so the list is
+# portable as-is.
+#
+# CONTRACT (round 7, replaces the round-5 ASCII-only note): the stripped
+# set is the full LATIN-1 range — ASCII punctuation/controls plus the C1
+# controls (0x80-0x9F) and Latin-1 punctuation/symbols (NBSP, «», §, ©,
+# ×, ÷, ...). Latin-1 LETTERS (À-ÿ, ß, µ, ª/º) and the superscript digits
+# survive as word characters, and lower() maps À→à identically in Spark
+# (UTF8String) and DuckDB (utf8proc) — verified head-to-head, test-pinned
+# in test_round7_fixes.py. Codepoints above U+00FF still pass through
+# (they are not in the translate list); a full-Unicode clean wants an ICU
+# tokenizer, which would re-introduce per-row Python — out of scope.
 _PUNCT_SAFE = "".join(
     chr(c)
     for c in range(33, 127)
     if not (chr(c).isalnum() or c in (39, 92))
 )
-_PUNCT_CHR = [39, 92, 127] + list(range(1, 32))
+_PUNCT_CHR = (
+    [39, 92, 127]
+    + list(range(1, 32))
+    + [c for c in range(0x80, 0x100) if not chr(c).isalnum()]
+)
 
 
 def _strip_chars_exprs() -> tuple[str, int]:
-    """(from_chars_sql, n_chars) for translate(): every ASCII char outside
-    [A-Za-z0-9 ]. The SQL text is dialect-portable (concat + chr exist in
-    both engines). Callers that also need uppercase stripped apply lower()
-    to the INPUT first (normalize_expr does)."""
+    """(from_chars_sql, n_chars) for translate(): every Latin-1 char outside
+    the kept word alphabet [A-Za-z0-9 À-ÿ-letters]. The SQL text is
+    dialect-portable (concat + chr exist in both engines and are
+    codepoint-based). Callers that also need uppercase stripped apply
+    lower() to the INPUT first (normalize_expr does)."""
     chrs = ", ".join(f"chr({c})" for c in _PUNCT_CHR)
     n = len(_PUNCT_SAFE) + len(_PUNCT_CHR)
     return f"concat('{_PUNCT_SAFE}', {chrs})", n
@@ -102,9 +120,9 @@ def quality_exprs(col: str, dialect: str) -> dict[str, str]:
     Spark build regexp evaluation serializes across executor threads (wall
     time is invariant to partition count — measured in round 5), so a regex
     here caps the whole clean stage at single-core speed. translate scans
-    the listed ASCII set linearly and scales; non-ASCII codepoints are not
-    counted as punctuation (ASCII corpus contract, same note as
-    normalize_expr)."""
+    the listed set linearly and scales; the counted set is the full
+    Latin-1 punctuation/control range (round 7 — see the contract note on
+    _PUNCT_CHR); codepoints above U+00FF are not counted."""
     toks = _split(dialect, col)
     n_tok = _size(dialect, toks)
     stop = ", ".join(f"'{w}'" for ws in LANG_MARKERS.values() for w in ws)
@@ -118,7 +136,11 @@ def quality_exprs(col: str, dialect: str) -> dict[str, str]:
             f"length({col})" if dialect == "spark"
             else f"CAST(length({col}) AS INT)"
         ),
-        "punct_ratio": f"ROUND({n_punct} / CAST(length({col}) AS DOUBLE), 4)",
+        # NULLIF: an empty doc would otherwise DIVIDE_BY_ZERO under Spark's
+        # ANSI default (round 7 — both dialects agree on the NULL)
+        "punct_ratio": (
+            f"ROUND({n_punct} / CAST(NULLIF(length({col}), 0) AS DOUBLE), 4)"
+        ),
         "stopword_ratio": f"ROUND({n_stop} / CAST({n_tok} AS DOUBLE), 4)",
         "mean_word_len": (
             f"ROUND((length({col}) - {n_tok} + 1) / CAST({n_tok} AS DOUBLE), 4)"
@@ -137,10 +159,12 @@ def normalize_expr(col: str, dialect: str) -> str:
     single-core speed no matter the cluster size. translate() + split +
     filter + join compute the identical result (punct chars → space via a
     chr()-built mapping, empty tokens dropped = run collapse + trim) about
-    10× faster per core AND parallel. Contract note: the stripped set is
-    the ASCII range (the harness corpus alphabet); non-ASCII codepoints
-    pass through instead of being spaced — both dialects agree either way
-    because they run the same translate list."""
+    10× faster per core AND parallel. Contract note (round 7): the
+    stripped set covers the full LATIN-1 punctuation/control range and
+    lower() folds Latin-1 case in both engines — Latin-1 letters are word
+    characters, codepoints above U+00FF pass through (see _PUNCT_CHR);
+    both dialects agree either way because they run the same translate
+    list."""
     frm, n = _strip_chars_exprs()
     to = f"repeat(' ', {n})"
     inner = f"translate(lower({col}), {frm}, {to})"

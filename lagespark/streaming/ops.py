@@ -328,7 +328,11 @@ def ingest_claims_batch(
     doc holding that key emits a claim row (id, band, dup_of=owner). A doc
     with ≥ 1 claim is a near-duplicate of an earlier doc at the banding's
     collision threshold — the same verdict the streaming op reaches
-    incrementally, state replaced by a window function."""
+    incrementally, state replaced by a window function. A doc id appearing
+    on MULTIPLE input rows never claims itself (dup_of != id filter) —
+    the same rule the streaming fn applies via its `owner != rid` guard
+    (ADVICE r6: parity now holds under duplicate ids too, not just on
+    unique-id corpora)."""
     from pyspark.sql import Window
 
     from lagespark.operators import dedup
@@ -344,7 +348,10 @@ def ingest_claims_batch(
         F.row_number().over(w).alias("_rn"),
         F.first(id_col).over(w).alias("dup_of"),
     )
-    return k.filter(F.col("_rn") > 1).select(id_col, "band", "dup_of")
+    return (
+        k.filter((F.col("_rn") > 1) & (F.col("dup_of") != F.col(id_col)))
+        .select(id_col, "band", "dup_of")
+    )
 
 
 def dedup_stream_minhash(

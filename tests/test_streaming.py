@@ -636,7 +636,9 @@ def test_stream_dedup_append_file_sink_and_suppressed_corpus(spark, tmpdir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # a False return = timeout on a contended box — fail HERE, not on a
+    # confusing partial-claims assertion downstream (ADVICE r6)
+    assert q.awaitTermination(120), "claims stream did not finish in 120 s"
     docs = _mk_docs(spark, b1 + b2)
     claims = spark.read.parquet(out)
     survivors = {

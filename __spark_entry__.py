@@ -58,89 +58,85 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness sweep is budget-capped at ~50 queries and walks
-# queries() in iteration order. Union of rounds 1-5 driver-touched all 105
-# registered queries (84 oracled all-true + 21 rows-only executed) — see
-# VERDICT.md r5. Round-6 rotation (ONE deliberate edit per round, otherwise
-# FROZEN): (a) the seven queries whose code paths changed this round (S2
-# lattice snap -> q57/q50/q83; q95 single-scan; decontaminate benchmark
-# _spread -> q100; lsh_topk skinny bucket join -> q76; intersects_join_ri
-# native rect-pair path -> q82) go first so the driver re-proves them,
-# preceded by q104 (NEW this round — streaming ingest dedup's
-# batch-equivalence form, zero driver evidence yet, hash-green in my own
-# sf0.01 gate runs); (b) the five r3-stale overflow survivors; (c) the
-# 50-query r4-window set, heavy / rows-only plans first, staleness-refresh.
-# 60 entries vs a ~50-slot budget: the LAST ten are deliberate overflow —
-# q34/q35 (sort/limit), q36/q37/q38 (set ops), q29-pivot, q46-scalar-date2,
-# q47-scalar-map are trivial single-operator plans with pytest coverage and
-# 2+ prior all-true driver rows each; q44-scalar-json (displaced by q104)
-# likewise holds r1+r4 all-true rows.
+# queries() in iteration order. Union of rounds 1-6 driver-touched all 106
+# registered queries (85 oracled all-true + 21 rows-only executed) — see
+# VERDICT.md r6. Round-7 rotation (ONE deliberate edit per round, otherwise
+# FROZEN), max-staleness-refresh per VERDICT r6 #4: (a) the queries whose
+# code paths changed this round go first — q104 (ingest_claims_batch
+# self-claim filter + oracle predicate, retention-bounded streaming form),
+# q71b/q72b/q72 (dedup.py: decimal-repr bitset rounding, broadcast
+# lifecycle, threshold-matched banding defaults; q72 shares the CTE chain),
+# q78/q98/q77/q99/q79/q80 (operators/text.py Latin-1 strip set + NULLIF
+# punct_ratio, oracles updated in lockstep); (b) the r5-window stale set
+# (q03/q04, q10-q17, q19-q21, q23-q26, q44/q45/q48, q70/q71/q73-q75, q81,
+# q84, q86, q90, q92-q94, q96/q97, q101-q103); (c) the twice-overflowed
+# r4 set rotated IN this round (q29, q34-q38, q46, q47). 55 entries vs a
+# ~50-slot budget: the LAST five are deliberate overflow — q03/q04
+# (single-filter plans) and q20/q21/q23 (single-agg plans), each with 2+
+# prior all-true driver rows (r1/r2/r3/r5) and pytest coverage. Everything
+# r6-proven (q01/q02, q18, q27, q30-q33, q39-q43, q50-q59b, q66, q82, q83,
+# q95, q100, img/ann rows-only) keeps registration order after the window.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- round-6 NEW query: first driver evidence --
+    # -- round-7 code-touched: re-prove first --
     "q104-dedup-ingest-claims",
-    # -- round-6 code-touched: re-prove first --
-    "q57-geo-s2cell",
-    "q50-geo-cell",
-    "q83-geo-pip-s2",
-    "q95-spatiotemporal-rollup",
-    "q100-decontaminate",
-    "q76-ann-lsh",
-    "q82-geo-intersects-ri",
-    # -- last driver-checked in r03 (r5 overflow) --
-    "q59b-geo-tile-rect",
-    "q91-stream-slide",
-    "q02-filter",
-    "q01-project",
-    "q18-cross",
-    # -- last driver-checked in r04: heavy / rows-only plans first --
-    "q72b-dedup-minhash-fast",
     "q71b-dedup-lsh-jaccard",
-    "q74b-dedup-embed-cosine-lsh",
-    "q76b-ann-ivf",
-    "q76c-ann-pq",
-    "q55-geo-score",
-    "q54-geo-knn",
-    "q51-geo-pip",
-    "q52-geo-zone",
-    "q53-geo-range-join",
-    "q56-geo-overlay-rect",
-    "q66-geo-salted-join",
-    "q58-geo-overlay-areas",
-    "q59-geo-tile",
-    "q60-img-roundtrip",
-    "q61-img-decode-stats",
-    "q62-img-transcode",
-    "q63-img-resize",
-    "q69-img-tile-chain",
-    "q87-img-arrow-stats",
-    "q85-img-phash-dedup",
-    "q85b-img-dedup-corpus",
-    "q64-multimodal-stub",
-    "q64b-multimodal-frames",
-    "q65-img-geo-join",
-    # -- last driver-checked in r04: relational / scalar --
-    "q27-collect",
-    "q30-rank",
-    "q31-analytic",
-    "q32-frame",
-    "q33-topk-group",
-    "q39-window-extras",
-    "q22-agg-approx",
-    "q28-percentile-approx",
-    "q40-scalar-string",
-    "q41-scalar-date",
-    "q42-scalar-math",
-    "q43-scalar-array",
+    "q72b-dedup-minhash-fast",
+    "q72-dedup-minhash-lsh",
+    "q78-text-quality",
+    "q98-text-normalize",
+    "q77-text-langid",
+    "q99-corpus-stats",
+    "q79-text-tokens",
+    "q80-text-fingerprint",
+    # -- r5-window stale: heavy / rows-only plans first --
+    "q71-dedup-ngram-jaccard",
+    "q70-dedup-exact",
+    "q73-dedup-simhash",
+    "q74-dedup-embed-cosine",
+    "q75-ann-topk",
+    "q81-dedup-components",
+    "q96-dedup-corpus",
+    "q97-sample-hash",
+    "q101-doc-pack",
+    "q102-embed-dedup-corpus",
+    "q103-mix-resample",
+    "q84-geo-range-rollup",
+    "q86-geo-within-dist",
+    "q90-stream-tumble",
+    "q92-stream-session",
+    "q93-stream-geo",
+    "q94-stream-stream-join",
+    # -- r5-window stale: joins / aggs / scalars --
+    "q10-join-inner",
+    "q11-join-left",
+    "q12-join-semi",
+    "q13-join-anti",
+    "q14-join-bcast",
+    "q15-join-theta",
+    "q16-join-range",
+    "q17-join-asof",
+    "q19-multi-join",
+    "q48-subquery-correlated",
+    "q24-cube",
+    "q25-gsets",
+    "q26-percentile",
     "q44-scalar-json",
     "q45-scalar-fuzzy",
-    # -- deliberate overflow candidates (see block comment) --
-    "q46-scalar-date2",
-    "q47-scalar-map",
+    # -- twice-overflowed r4 set, rotated IN this round --
     "q29-pivot",
     "q34-sort",
     "q35-topk",
     "q36-union",
     "q37-intersect",
     "q38-except",
+    "q46-scalar-date2",
+    "q47-scalar-map",
+    # -- deliberate overflow (trivial plans, 2+ prior all-true rows) --
+    "q20-agg-basic",
+    "q21-agg-distinct",
+    "q23-rollup",
+    "q03-bbox-filter",
+    "q04-exact-pred",
 )
 
 

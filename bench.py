@@ -122,6 +122,18 @@ def main() -> None:
         warm[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # round-1 reference record: the original 15-query headline set summed
+    # 32.3 s on this box (BENCH/BASELINE.md "Headline per-query timings") —
+    # emit the same-subset sum and ratio in-record so the baseline
+    # comparison needs no by-hand arithmetic (VERDICT r6 #7)
+    r1_subset = [
+        "q55-geo-score", "q51-geo-pip", "q52-geo-zone", "q53-geo-range-join",
+        "q54-geo-knn", "q50-geo-cell", "q20-agg-basic", "q10-join-inner",
+        "q14-join-bcast", "q30-rank", "q66-geo-salted-join",
+        "q72-dedup-minhash-lsh", "q75-ann-topk", "q60-img-roundtrip",
+        "q90-stream-tumble",
+    ]
+    r1_sum = round(sum(timings[n] for n in r1_subset if n in timings), 3)
     flagship_sec = timings["q55-geo-score"]
     out = {
         "metric": "headline_queries_total",
@@ -134,6 +146,8 @@ def main() -> None:
         "flagship_rows_per_sec": round(n_points / flagship_sec) if flagship_sec else None,
         "hw_rows_per_core_sec": hw_rate,
         "warm": warm,
+        "r1_subset_sec": r1_sum,
+        "r1_subset_vs_baseline_32_3": round(r1_sum / 32.3, 3),
     }
     print(json.dumps(out))
 

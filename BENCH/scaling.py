@@ -389,6 +389,76 @@ def run_ingest(spark, n: int, parts: int) -> None:
     q.awaitTermination()
 
 
+def _av_src(spark, n: int, parts: int) -> tuple[str, str]:
+    """Materialized AV + image tables for run_av, cached in /tmp (same
+    pre-materialization discipline as _refine_src — inline mapInPandas
+    generation would burn Python-worker CPU outside the local[N] thread
+    budget and inflate the small level). Both tables are per-index
+    deterministic (generate_av / generate_with_neardups), written as 64
+    files each so BOTH parallelism levels read >= parts splits without a
+    payload-shuffling repartition. ~46 KB/media LAV1 containers, ~4.4 KB
+    images; generation is ~14 ms/media single-core, so pre-warm the cache
+    at local[32] before a 2-core sweep (the level would otherwise spend
+    ~15 min generating inside its excluded warm-up)."""
+    from lagespark.operators import image_ops
+
+    path = f"/tmp/lagespark_scale_av_src_v1_{n}"
+    av_dest = os.path.join(path, "av.parquet")
+    img_dest = os.path.join(path, "images.parquet")
+    if not os.path.exists(os.path.join(av_dest, "_SUCCESS")):
+        image_ops.generate_av(spark, n, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(av_dest)
+    if not os.path.exists(os.path.join(img_dest, "_SUCCESS")):
+        image_ops.generate_with_neardups(
+            spark, n, partitions=64, dup_every=10
+        ).write.mode("overwrite").parquet(img_dest)
+    return av_dest, img_dest
+
+
+def run_av(spark, n: int, parts: int) -> None:
+    """Fused multimodal scaling row (VERDICT r6 #5): the two operator
+    families with no prior 2-cluster-size evidence, over pre-materialized
+    parquet so the timed work is pure engine.
+
+    (a) q64b shape — LAV1 frame/window sampling: native n_samp arithmetic,
+        ONE mapInPandas pass that index-seeks only the sampled units of
+        each container (payload crosses Arrow once, never exploded per
+        sample). Correctness inline: the kernel's emitted sample count
+        must equal the independent native SUM(min(8, dur/1000)).
+    (b) q85b shape — image near-dup corpus FILTER: pHash banded pairs →
+        connected components → anti-join keeps one representative per
+        cluster; everything after the stored hash is pure Catalyst.
+        Correctness inline: injected twins (every 10th image) collapse,
+        so kept <= n and >= 0.9n (cross-image pHash collisions at this
+        volume may merge a few extra clusters, never add rows)."""
+    from lagespark.operators import image_ops
+
+    av_src, img_src = _av_src(spark, n, parts)
+    av = spark.read.parquet(av_src)
+    frames = image_ops.sample_av_frames(av, fps=1.0, max_samples=8)
+    got = frames.agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.countDistinct("media_id").alias("n_media"),
+        F.sum(F.length("data")).alias("nb"),
+    ).collect()[0]
+    want = av.agg(
+        F.sum(
+            F.least(
+                F.lit(8),
+                F.greatest(
+                    F.lit(1), F.floor(F.col("duration_ms") / 1000.0)
+                ),
+            )
+        ).alias("s")
+    ).collect()[0]["s"]
+    assert got["n_media"] == n and got["n_samples"] == want and got["nb"] > 0
+
+    imgs = spark.read.parquet(img_src)
+    kept = image_ops.phash_dedup_corpus(imgs, max_hamming=6).count()
+    assert int(n * 0.9) <= kept <= n, kept
+
+
 def _corpus_src(spark, n: int, parts: int) -> str:
     """Deterministic n-doc corpus for the pipeline scaling job, written once
     per size to /tmp and reused by every run/level (generation rides the
@@ -528,6 +598,7 @@ JOBS = {
     "refine": run_refine,
     "ingest": run_ingest,
     "corpus": run_corpus,
+    "av": run_av,
 }
 
 
@@ -567,6 +638,7 @@ def main():
     ap.add_argument("--n-refine", type=int, default=240_000)
     ap.add_argument("--n-ingest", type=int, default=240_000)
     ap.add_argument("--n-corpus", type=int, default=60_000)
+    ap.add_argument("--n-av", type=int, default=120_000)
     ap.add_argument("--sizes", default="2,8")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--jobs", default="spatial,image,overlay,dedup")

@@ -364,6 +364,7 @@ def dedup_stream_minhash(
     state_buckets: int = 256,
     output_mode: str = "update",
     retention_s: float | None = None,
+    reorder_s: float | None = None,
 ) -> DataFrame:
     """STREAMING near-dup suppression at ingest: documents arrive as a
     stream (id, text, ts); emits the CLAIMS stream (id, band, dup_of) —
@@ -411,7 +412,24 @@ def dedup_stream_minhash(
     file/queue source shape — test-pinned for that case in
     tests/test_streaming.py). A source that delivers older-ts docs in
     later batches keeps the same well-defined arrival-order semantics,
-    just not the ts-window oracle.
+    just not the ts-window oracle — UNLESS `reorder_s` is set.
+
+    OUT-OF-ORDER SOURCES (round 7): `reorder_s` is a watermark-based
+    reorder buffer that restores the ts-window oracle for any source
+    whose disorder is bounded by `reorder_s`. Mechanics: the input gets
+    `withWatermark(ts, reorder_s)`; arriving rows are BUFFERED in state
+    instead of applied; each micro-batch releases the buffered rows with
+    ts <= the current event-time watermark (max seen ts − reorder_s,
+    computed from prior batches) and applies them in (ts, id) order; an
+    EventTimeTimeout registered at the earliest buffered ts guarantees a
+    flush callback even for buckets the next batch doesn't touch. Claims
+    then equal ingest_claims_batch(order_col="ts") for bounded-disorder
+    ingest (test-pinned on a cross-batch-scrambled corpus). The trades
+    are the standard watermark ones: claims for a row emit only after
+    the watermark passes it (latency ≥ reorder_s behind max event time;
+    a quiet stream needs a newer row — in tests, a sentinel — to flush
+    the tail), rows later than the watermark get late-data semantics,
+    and buffered rows add O(in-flight window) to per-bucket state.
 
     `output_mode` must MATCH the sink's outputMode (Spark rejects the
     query otherwise): "update" for memory/console, "append" for FILE
@@ -424,6 +442,9 @@ def dedup_stream_minhash(
     from lagespark.operators import dedup
 
     docs = docs.withColumn("ts", F.col("ts").cast("timestamp"))
+    reorder_us = None if reorder_s is None else int(reorder_s * 1e6)
+    if reorder_us is not None:
+        docs = docs.withWatermark("ts", f"{reorder_us} microseconds")
     keys = dedup.band_keys_fast(
         docs, id_col, text_col, perms, band_rows, n, keep=("ts",), spread=False
     ).withColumn(
@@ -435,35 +456,51 @@ def dedup_stream_minhash(
     retention_us = None if retention_s is None else int(retention_s * 1e6)
 
     def fn(key, pdfs, state: GroupState):
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(["ts", id_col], kind="mergesort")
-        # itertuples renames underscore-leading columns positionally
-        rows["tsus"] = rows["ts"].astype("int64") // 1000
+        # pending rows as (id, ts_us, band, band_key) tuples — one shape
+        # for fresh arrivals and the reorder buffer
+        arrived = []
+        for pdf in pdfs:
+            if len(pdf):
+                tsus = pdf["ts"].astype("int64") // 1000
+                arrived.extend(
+                    zip(pdf[id_col], tsus, pdf["band"], pdf["band_key"])
+                )
         if state.exists:
-            s_bands, s_keys, s_owners, s_lasts = state.get
-            owned = dict(
-                zip(zip(s_bands, s_keys), zip(s_owners, s_lasts))
-            )
+            s = state.get
+            owned = dict(zip(zip(s[0], s[1]), zip(s[2], s[3])))
+            buf = list(zip(s[4], s[5], s[6], s[7]))
         else:
-            owned = {}
+            owned, buf = {}, []
+        if reorder_us is None:
+            released, buf = arrived, []
+        else:
+            # release rows at or behind the event-time watermark (computed
+            # from prior batches: max seen ts − reorder_s); hold the rest.
+            # A late row (ts already <= wm on arrival) releases immediately
+            # — processed out of window, the standard late-data semantics.
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            buf.extend(arrived)
+            released = [r for r in buf if r[1] <= wm_us]
+            buf = [r for r in buf if r[1] > wm_us]
+        # apply in (ts, id) order — deterministic under any partitioning
+        released.sort(key=lambda r: (r[1], r[0]))
         out_id, out_band, out_owner = [], [], []
         # evict BEFORE processing, at micro-batch granularity: the horizon
-        # is this batch's max event time, so a key idle past retention is
-        # gone before any of this batch's rows consult it (an end-of-batch
-        # sweep would let a stale owner claim one last time)
-        if retention_us is not None and owned and len(rows):
-            horizon = int(rows["tsus"].max()) - retention_us
+        # is this batch's max released event time, so a key idle past
+        # retention is gone before any of this batch's rows consult it (an
+        # end-of-batch sweep would let a stale owner claim one last time)
+        if retention_us is not None and owned and released:
+            horizon = int(released[-1][1]) - retention_us
             owned = {k: v for k, v in owned.items() if v[1] >= horizon}
-        for r in rows.itertuples(index=False):
-            rid = getattr(r, id_col)
-            ts_us = int(r.tsus)
-            k = (r.band, r.band_key)
+        for rid, ts_us, band, band_key in released:
+            ts_us = int(ts_us)
+            k = (band, band_key)
             cur = owned.get(k)
             if cur is None:
                 owned[k] = (rid, ts_us)
             elif cur[0] != rid:
                 out_id.append(rid)
-                out_band.append(r.band)
+                out_band.append(band)
                 out_owner.append(cur[0])
                 owned[k] = (cur[0], ts_us)  # touch-refresh the cluster
             else:
@@ -475,8 +512,20 @@ def dedup_stream_minhash(
                 [bk[1] for bk in bands_keys],
                 [owned[bk][0] for bk in bands_keys],
                 [owned[bk][1] for bk in bands_keys],
+                [b[0] for b in buf],
+                [int(b[1]) for b in buf],
+                [int(b[2]) for b in buf],
+                [int(b[3]) for b in buf],
             )
         )
+        if reorder_us is not None and buf:
+            # guarantee a flush callback when the watermark passes the
+            # earliest buffered row, even if no later batch touches this
+            # bucket (must be strictly ahead of the current watermark)
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(min(int(b[1]) for b in buf) // 1000, wm_ms + 1)
+            )
         yield pd.DataFrame(
             {id_col: out_id, "band": out_band, "dup_of": out_owner}
         )
@@ -486,10 +535,16 @@ def dedup_stream_minhash(
         outputStructType=f"{id_col} {id_t}, band int, dup_of {id_t}",
         stateStructType=(
             f"bands array<int>, keys array<bigint>, owners array<{id_t}>, "
-            "lasts array<bigint>"
+            f"lasts array<bigint>, buf_ids array<{id_t}>, "
+            "buf_ts array<bigint>, buf_bands array<int>, "
+            "buf_keys array<bigint>"
         ),
         outputMode=output_mode,
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if reorder_us is None
+            else GroupStateTimeout.EventTimeTimeout
+        ),
     )
 
 

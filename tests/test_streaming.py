@@ -772,3 +772,97 @@ def test_dedup_stream_tws_matches_batch_replay(spark, tmpdir):
     )
     want = {(r.doc_id, r.band, r.dup_of) for r in want_df.collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_dedup_reorder_restores_ts_ownership(spark, tmpdir):
+    """reorder_s (round 7): the EARLIEST-ts doc owns even when it arrives
+    in a LATER micro-batch — the watermark buffer holds rows until
+    max-seen-ts − reorder_s passes them, then applies in ts order. Claims
+    surface only after the watermark flush (here: two far-future sentinel
+    batches — one to advance the watermark, one to run the release)."""
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    txt = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    tag = uuid.uuid4().hex[:8]
+    src = f"{tmpdir}/ro_src_{tag}"
+    name = "ro" + tag
+    # doc 1 (ts +10 s) arrives FIRST; doc 2 (ts +5 s) arrives in batch 2
+    _mk_docs(spark, [(1, txt, t0 + pd.Timedelta(seconds=10))]).write.parquet(
+        src, mode="overwrite"
+    )
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, ts timestamp"
+    ).parquet(src)
+    q = (
+        ops.dedup_stream_minhash(stream, reorder_s=60.0)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ro_ck_{tag}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for batch in (
+            [(2, txt, t0 + pd.Timedelta(seconds=5))],
+            [(999, "zulu yankee xray whiskey victor", t0 + pd.Timedelta(seconds=300))],
+            [(998, "tango sierra romeo quebec papa", t0 + pd.Timedelta(seconds=600))],
+        ):
+            _mk_docs(spark, batch).write.parquet(src, mode="append")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.doc_id, r.dup_of)
+        for r in spark.sql(f"SELECT doc_id, dup_of FROM {name}").collect()
+    }
+    # ts order, not arrival order: doc 2 (ts +5) owns, doc 1 claims it
+    assert {d for d, _ in got} == {1}
+    assert got and all(o == 2 for _, o in got)
+
+
+def test_stream_dedup_reorder_matches_ts_oracle_on_scrambled_corpus(
+    spark, tmpdir
+):
+    """Bounded-disorder ingest + reorder_s == the ts-window batch oracle:
+    the _doc_corpus docs arrive SCRAMBLED across two micro-batches (odd
+    ids first — later-ts docs precede earlier-ts ones by up to ~125 s),
+    reorder_s exceeds the disorder, and the flushed claims must equal
+    ingest_claims_batch(order_col='ts') exactly."""
+    b1, b2 = _doc_corpus()
+    docs = b1 + b2
+    arrive_a = [d for d in docs if d[0] % 2 == 1]
+    arrive_b = [d for d in docs if d[0] % 2 == 0]
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    sent1 = [(9001, "qq ww ee rr tt yy uu ii oo pp", t0 + pd.Timedelta(seconds=1000))]
+    sent2 = [(9002, "aa ss dd ff gg hh jj kk ll zz", t0 + pd.Timedelta(seconds=2000))]
+    tag = uuid.uuid4().hex[:8]
+    src = f"{tmpdir}/ros_src_{tag}"
+    name = "ros" + tag
+    _mk_docs(spark, arrive_a).write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, ts timestamp"
+    ).parquet(src)
+    q = (
+        ops.dedup_stream_minhash(stream, reorder_s=200.0)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ros_ck_{tag}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for batch in (arrive_b, sent1, sent2):
+            _mk_docs(spark, batch).write.parquet(src, mode="append")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.doc_id, r.band, r.dup_of)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want_df = ops.ingest_claims_batch(
+        _mk_docs(spark, docs), order_col="ts", hashed=True
+    )
+    want = {(r.doc_id, r.band, r.dup_of) for r in want_df.collect()}
+    assert got == want and len(want) > 0

@@ -297,6 +297,40 @@ def generate_with_neardups(
     return spark.range(0, n, 1, partitions).mapInPandas(gen, IMAGES_SCHEMA)
 
 
+def phash_band_keys(
+    images: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, band, band_key, *keep): the 64-bit pHash split into 4×16-bit
+    pigeonhole bands — any pair within hamming ≤ 3 shares at least one
+    band key. The per-image half of phash_neardup_pairs' banding, shared
+    with streaming image ingest dedup (streaming/ops.dedup_stream_phash),
+    mirroring how dedup.band_keys_fast feeds both the batch pair finder
+    and dedup_stream_minhash."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col(phash_col), 16 * b)
+                .bitwiseAND(F.lit(0xFFFF))
+                .cast("bigint")
+                .alias("band_key"),
+            )
+            for b in range(4)
+        ]
+    )
+    return images.select(
+        F.col(id_col), F.explode(bands).alias("bk"), *[F.col(c) for c in keep]
+    ).select(
+        id_col,
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+        *keep,
+    )
+
+
 def phash_neardup_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     """pHash near-duplicate pairs: band the 64-bit hash into 4×16-bit keys
     (pigeonhole: any pair within hamming ≤ 3 shares a band; our injected

@@ -333,13 +333,22 @@ def ingest_claims_batch(
     the same rule the streaming fn applies via its `owner != rid` guard
     (ADVICE r6: parity now holds under duplicate ids too, not just on
     unique-id corpora)."""
-    from pyspark.sql import Window
-
     from lagespark.operators import dedup
 
     builder = dedup.band_keys_fast if hashed else dedup.band_keys_md5
     keep = (order_col,) if order_col else ()
     keys = builder(docs, id_col, text_col, perms, band_rows, n, keep=keep)
+    return _claims_batch_from_keys(keys, id_col, order_col)
+
+
+def _claims_batch_from_keys(
+    keys: DataFrame, id_col: str, order_col: str | None
+) -> DataFrame:
+    """First-writer window over any banded key frame — the batch half
+    shared by ingest_claims_batch (LSH keys) and ingest_claims_batch_phash
+    (pHash bands)."""
+    from pyspark.sql import Window
+
     order = [F.col(order_col), F.col(id_col)] if order_col else [F.col(id_col)]
     w = Window.partitionBy("band", "band_key").orderBy(*order)
     k = keys.select(
@@ -352,6 +361,23 @@ def ingest_claims_batch(
         k.filter((F.col("_rn") > 1) & (F.col("dup_of") != F.col(id_col)))
         .select(id_col, "band", "dup_of")
     )
+
+
+def ingest_claims_batch_phash(
+    images: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Batch-replay equivalent of dedup_stream_phash: first-writer-wins
+    claims over the 4×16-bit pHash pigeonhole bands (same window semantics
+    as ingest_claims_batch — earliest (order_col, id) row owns each band
+    key, later holders claim it, self-claims filtered)."""
+    from lagespark.operators import image_ops
+
+    keep = (order_col,) if order_col else ()
+    keys = image_ops.phash_band_keys(images, id_col, phash_col, keep=keep)
+    return _claims_batch_from_keys(keys, id_col, order_col)
 
 
 def dedup_stream_minhash(
@@ -437,21 +463,47 @@ def dedup_stream_minhash(
     two modes produce identical rows for this operator, and the append +
     parquet-sink wiring is how a production pipeline persists the claims
     table for the downstream suppressed-corpus anti-join (test-pinned)."""
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
     from lagespark.operators import dedup
 
     docs = docs.withColumn("ts", F.col("ts").cast("timestamp"))
-    reorder_us = None if reorder_s is None else int(reorder_s * 1e6)
-    if reorder_us is not None:
-        docs = docs.withWatermark("ts", f"{reorder_us} microseconds")
     keys = dedup.band_keys_fast(
         docs, id_col, text_col, perms, band_rows, n, keep=("ts",), spread=False
-    ).withColumn(
+    )
+    return _claims_stream(
+        keys,
+        id_col,
+        docs.schema[id_col].dataType.simpleString(),
+        state_buckets,
+        output_mode,
+        retention_s,
+        reorder_s,
+    )
+
+
+def _claims_stream(
+    keys: DataFrame,
+    id_col: str,
+    id_t: str,
+    state_buckets: int,
+    output_mode: str,
+    retention_s: float | None,
+    reorder_s: float | None,
+) -> DataFrame:
+    """The first-writer-wins claims STATE MACHINE, generic over any banded
+    key stream (id, ts timestamp, band int, band_key bigint) — shared by
+    dedup_stream_minhash (LSH band keys over text) and dedup_stream_phash
+    (16-bit pHash bands over images). All semantics (super-bucket state,
+    retention eviction, watermark reorder buffer, first-arrival ownership)
+    are documented on dedup_stream_minhash."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    reorder_us = None if reorder_s is None else int(reorder_s * 1e6)
+    if reorder_us is not None:
+        keys = keys.withWatermark("ts", f"{reorder_us} microseconds")
+    keys = keys.withColumn(
         "bucket",
         F.pmod(F.xxhash64(F.col("band"), F.col("band_key")), F.lit(state_buckets)),
     )
-    id_t = docs.schema[id_col].dataType.simpleString()
 
     retention_us = None if retention_s is None else int(retention_s * 1e6)
 
@@ -545,6 +597,45 @@ def dedup_stream_minhash(
             if reorder_us is None
             else GroupStateTimeout.EventTimeTimeout
         ),
+    )
+
+
+def dedup_stream_phash(
+    images: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    state_buckets: int = 256,
+    output_mode: str = "update",
+    retention_s: float | None = None,
+    reorder_s: float | None = None,
+) -> DataFrame:
+    """STREAMING near-dup suppression for IMAGE ingest — the multimodal
+    twin of dedup_stream_minhash: image records arrive as a stream
+    (id, phash, ts) and claims (id, band, dup_of) emit for every arriving
+    image whose 16-bit pHash band is already owned by an earlier image
+    (pigeonhole: hamming ≤ 3 twins always share a band; the injected
+    qdct re-encode twins land well inside it). The heavy work — decode +
+    pHash — stays in the stateless upstream (image_ops.with_phash or a
+    stored phash column); only the SKINNY (id, ts, band, band_key)
+    projection reaches the state shuffle, so binary payloads never touch
+    the state machinery (the q85b batch-filter discipline, live at
+    ingest). Shares _claims_stream with the text path: identical
+    first-arrival ownership, super-bucket state, `retention_s` eviction
+    and `reorder_s` watermark semantics; claims equal
+    ingest_claims_batch_phash(order_col="ts") under monotone ingest
+    (test-pinned, same contract as q104)."""
+    imgs = images.withColumn("ts", F.col("ts").cast("timestamp"))
+    from lagespark.operators import image_ops
+
+    keys = image_ops.phash_band_keys(imgs, id_col, phash_col, keep=("ts",))
+    return _claims_stream(
+        keys,
+        id_col,
+        imgs.schema[id_col].dataType.simpleString(),
+        state_buckets,
+        output_mode,
+        retention_s,
+        reorder_s,
     )
 
 

@@ -866,3 +866,72 @@ def test_stream_dedup_reorder_matches_ts_oracle_on_scrambled_corpus(
     )
     want = {(r.doc_id, r.band, r.dup_of) for r in want_df.collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_dedup_phash_claims_match_batch_replay(spark, tmpdir):
+    """Multimodal ingest dedup (round 7): streaming pHash band claims over
+    (image_id, phash, ts) — string ids, no payload column anywhere near
+    the state machinery — equal ingest_claims_batch_phash(order_col='ts')
+    under monotone ingest, twin + near-twin suppressed across batches."""
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    pa = 0x123456789ABCDEF0
+    b1 = [("a1", pa, t0), ("a2", 0x7EDCBA9876543210, t0 + pd.Timedelta(seconds=1))]
+    b2 = [
+        ("b1", pa, t0 + pd.Timedelta(seconds=60)),            # exact twin of a1
+        ("b2", pa ^ 0x0003, t0 + pd.Timedelta(seconds=61)),   # near: band 0 differs
+        ("b3", 0x0F0F0F0F0F0F0F0F, t0 + pd.Timedelta(seconds=62)),  # fresh
+    ]
+
+    def mk(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["image_id", "phash", "ts"])
+        )
+
+    tag = uuid.uuid4().hex[:8]
+    src = f"{tmpdir}/ph_src_{tag}"
+    name = "ph" + tag
+    mk(b1).write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(
+        "image_id string, phash bigint, ts timestamp"
+    ).parquet(src)
+    q = (
+        ops.dedup_stream_phash(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ph_ck_{tag}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mk(b2).write.parquet(src, mode="append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.image_id, r.band, r.dup_of)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        (r.image_id, r.band, r.dup_of)
+        for r in ops.ingest_claims_batch_phash(mk(b1 + b2), order_col="ts").collect()
+    }
+    assert got == want
+    # exact twin claims all 4 bands; the near twin the 3 unchanged ones
+    assert {(d, o) for d, _, o in got} == {("b1", "a1"), ("b2", "a1")}
+    assert sum(1 for d, _, _ in got if d == "b1") == 4
+    assert sum(1 for d, _, _ in got if d == "b2") == 3
+
+
+def test_ingest_claims_batch_phash_on_generated_twins(spark):
+    """Batch pHash claims over the real generated image table: every
+    injected qdct twin (dup_every=10) claims its source — pigeonhole
+    guarantees a shared band at hamming <= 3 (twins measure <= 2)."""
+    from lagespark.operators import image_ops
+
+    imgs = image_ops.generate_with_neardups(spark, 200, partitions=8)
+    claims = ops.ingest_claims_batch_phash(imgs, order_col=None).collect()
+    dup_ids = {r.image_id for r in claims}
+    # order_col=None orders by id: "dupNNN" < "imgNNN", so sources claim
+    want_claimers = {f"img{i:08d}" for i in range(0, 200, 10)}
+    assert want_claimers <= dup_ids

@@ -77,6 +77,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # r6-proven (q01/q02, q18, q27, q30-q33, q39-q43, q50-q59b, q66, q82, q83,
 # q95, q100, img/ann rows-only) keeps registration order after the window.
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    # -- round-7 NEW query: first driver evidence (rows-only, image
+    # contract) — streaming pHash ingest dedup's batch-equivalence form;
+    # q80 vacates the window for it (fingerprint_expr is NOT touched by
+    # the Latin-1 strip-set change, and q80 holds r5 all-true evidence)
+    "q105-img-dedup-ingest",
     # -- round-7 code-touched: re-prove first --
     "q104-dedup-ingest-claims",
     "q71b-dedup-lsh-jaccard",
@@ -87,7 +92,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q77-text-langid",
     "q99-corpus-stats",
     "q79-text-tokens",
-    "q80-text-fingerprint",
     # -- r5-window stale: heavy / rows-only plans first --
     "q71-dedup-ngram-jaccard",
     "q70-dedup-exact",

@@ -234,6 +234,20 @@ def q85b(spark, sf):
     return kept.select("image_id", "fmt", "w", "h")
 
 
+@q("q105-img-dedup-ingest")
+def q105(spark, sf):
+    """Streaming IMAGE ingest dedup claims (batch-equivalence form, same
+    contract as q104's): first-writer-wins pHash band claims over the
+    generated image table with injected qdct twins. Rows-only by the
+    image contract (the image table is generated, not a parquet view);
+    streaming/batch claims parity is pinned in tests/test_streaming.py."""
+    from lagespark.streaming import ops as sops
+
+    image_ops.set_image_batching(spark)
+    imgs = image_ops.generate_with_neardups(spark, min(_n_images(sf), 2000))
+    return sops.ingest_claims_batch_phash(imgs, order_col=None)
+
+
 @q("q64-multimodal-stub")
 def q64(spark, sf):
     """Audio/video feature extraction with REAL container decode: payloads

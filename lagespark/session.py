@@ -12,6 +12,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Local-mode heap default sized to the machine: local[N] runs every
+    executor thread inside the driver JVM, and an 8 GB heap under 32
+    concurrent tasks GC-thrashes (round-8 measurement: the bench's warm
+    q68/q82 re-runs degraded 2-3x late in session — 20-23 s vs 9 s at a
+    right-sized heap; BENCH/BASELINE.md's round-7 multimodal sweep hit the
+    same wall). Default: a quarter of physical memory, clamped to [8, 24] GB
+    so small boxes are not over-committed. LAGESPARK_DRIVER_MEM still
+    overrides, and cluster deployments set driver/executor memory via
+    submit conf as usual — this default only governs bare local sessions."""
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        gb = max(8, min(24, total // (4 * (1 << 30))))
+    except (ValueError, OSError, AttributeError):
+        gb = 8
+    return f"{int(gb)}g"
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "lagespark",
@@ -32,7 +50,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("LAGESPARK_DRIVER_MEM", "8g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("LAGESPARK_DRIVER_MEM", _default_driver_mem()),
+        )
         .config("spark.sql.session.timeZone", "UTC")
     )
     for k, v in (extra_conf or {}).items():

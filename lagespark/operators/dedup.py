@@ -274,31 +274,84 @@ def band_keys_md5(
     n: int = 3,
     keep: tuple[str, ...] = (),
     spread: bool = True,
+    all_keys: bool = False,
 ) -> DataFrame:
     """(id, band, band_key, *keep): one row per (doc, LSH band) on the
     md5-oracle signature path — the per-doc half of minhash_pairs, shared
     with streaming ingest dedup (streaming.ops.dedup_stream_minhash passes
     spread=False and keep=('ts',)). The SQL mirror of the (sh, sig, keys)
-    chain is band_keys_ctes_sql."""
-    sig = minhash_signature(df, id_col, text_col, perms, n, keep, spread)
+    chain is band_keys_ctes_sql. all_keys=True additionally carries the
+    full band-key array as `_bks` (min-band pair dedup, _bucket_pairs).
+
+    PLAN-SIZE NOTE (round 8): the whole signature→band-key chain is ONE
+    aggregate fold whose `finish` lambda emits the band-key array directly.
+    Extracting the perms struct fields as separate mh columns and combining
+    them downstream (the round-5..7 form) made CollapseProject inline the
+    ENTIRE fold expression once per extracted field — a perms× expression
+    blow-up that cost seconds of driver-side analysis/optimization per
+    invocation (measured: q72 7.9 s plan build vs 1.6 s execution; q71b at
+    48 perms 21.4 s vs 3.3 s). The single-use finish form keeps the fold in
+    the plan exactly once; the per-shingle arithmetic is unchanged.
+
+    Two more single-evaluation guards (round 8, measured on the sf0.1 q72
+    key table — lazy-checkpoint stage-materialization 7.8 s → 0.2 s):
+      * the no-shingle filter is `length(text) >= n` (EXACTLY equivalent to
+        the old size(shs) > 0: shingle_col yields an empty array iff the
+        text is shorter than n, and NULL length drops NULL texts the same
+        way) — the size() form re-evaluated the whole shingle transform
+        inside the filter, which predicate pushdown then moved BELOW the
+        _spread exchange into the single-threaded scan task;
+      * the explode is posexplode_OUTER: InferFiltersFromGenerate otherwise
+        infers `size(_bks) > 0` from a plain posexplode and pushes THE
+        ENTIRE FOLD below the exchange too (the arrays are never empty —
+        aggregate's finish always returns `bands` elements — so outer
+        semantics are identical)."""
+    assert perms <= 9
     bands = perms // band_rows
-    bk = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|", *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
+    base = df.select(F.col(id_col), F.col(text_col), *[F.col(c) for c in keep])
+    if spread:
+        base = _spread(base)
+    sh = base.filter(F.length(text_col) >= n).select(
+        F.col(id_col),
+        shingle_col(text_col, n, distinct=False).alias("shs"),
+        *[F.col(c) for c in keep],
     )
-    return sig.select(
-        F.col(id_col), F.explode(bk).alias("bk"), *[F.col(c) for c in keep]
-    ).select(
+    hs = sh.select(
+        F.col(id_col),
+        F.transform(F.col("shs"), lambda s: F.md5(s)).alias("hs"),
+        *[F.col(c) for c in keep],
+    )
+    # same fold as minhash_signature ('g'*15 sentinel, least over 15-hex
+    # windows); finish maps the accumulator straight to the band keys
+    init = F.struct(*[F.lit("g" * 15).alias(f"m{p}") for p in range(perms)])
+
+    def _merge(acc, h):
+        return F.struct(
+            *[
+                F.least(acc[f"m{p}"], F.substring(h, 2 * p + 1, 15)).alias(f"m{p}")
+                for p in range(perms)
+            ]
+        )
+
+    def _finish(acc):
+        return F.array(
+            *[
+                F.concat_ws(
+                    "|", *[acc[f"m{b * band_rows + r}"] for r in range(band_rows)]
+                )
+                for b in range(bands)
+            ]
+        )
+
+    arr = hs.select(
+        F.col(id_col),
+        F.aggregate("hs", init, _merge, _finish).alias("_bks"),
+        *[F.col(c) for c in keep],
+    )
+    return arr.select(
         id_col,
-        F.col("bk.band").alias("band"),
-        F.col("bk.band_key").alias("band_key"),
+        F.posexplode_outer("_bks").alias("band", "band_key"),
+        *(["_bks"] if all_keys else []),
         *keep,
     )
 
@@ -316,11 +369,13 @@ def minhash_pairs(
     band key; the self-join runs per (band, key) bucket — at scale the key
     space is uniform (md5) so the shuffle partitions evenly."""
     return _bucket_pairs(
-        band_keys_md5(df, id_col, text_col, perms, band_rows, n), id_col
+        band_keys_md5(df, id_col, text_col, perms, band_rows, n, all_keys=True),
+        id_col,
+        n_bands=perms // band_rows,
     )
 
 
-def _bucket_pairs(keys: DataFrame, id_col: str) -> DataFrame:
+def _bucket_pairs(keys: DataFrame, id_col: str, n_bands: int | None = None) -> DataFrame:
     """(id, band, band_key) → distinct candidate pairs (a < b) sharing a
     bucket, via a SELF-JOIN of the lazily-checkpointed key table.
 
@@ -332,16 +387,40 @@ def _bucket_pairs(keys: DataFrame, id_col: str) -> DataFrame:
     generated across ALL partitions holding those rows (broadcast probe at
     this size; SMJ + AQE skew-split at cluster scale). The checkpoint makes
     the (skinny — id + 2 keys) table compute its signature subplan ONCE for
-    both join sides."""
+    both join sides.
+
+    Pair dedup (round 8): when the key table carries the full band-key
+    array (`_bks`, all_keys=True in band_keys_*) and the caller passes
+    `n_bands`, a pair is emitted ONLY from the FIRST band whose keys
+    collide — a pure map-side filter on the join output, so the quadratic
+    candidate stream never shuffles again (the old `.distinct()`
+    hash-aggregated + exchanged up-to-bands× the pair volume; guide §2.4
+    "remove shuffles outright"). The filter is a flat OR chain of
+    element_at comparisons — NOT slice/zip_with/exists, which allocate two
+    sliced arrays per joined row and measured SLOWER than the distinct it
+    replaces (sf0.1 A/B: distinct ~1.5 s, HOF filter ~4.8 s, element_at
+    chain ~0.8 s). Join-bucket membership is DEFINED by band_key equality,
+    so checking earlier bands' keys reproduces exactly the distinct pair
+    set — given unique doc ids (the corpus contract; the DuckDB oracle's
+    GROUP BY doc_id signature assumes the same). Without `_bks`/`n_bands`
+    the distinct fallback remains."""
     keys = keys.localCheckpoint(eager=False)
-    a = keys.select(F.col(id_col).alias("a"), "band", "band_key")
-    b = keys.select(F.col(id_col).alias("b"), "band", "band_key")
-    return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    has_all = "_bks" in keys.columns and n_bands is not None
+    extra_a = [F.col("_bks").alias("_ka")] if has_all else []
+    extra_b = [F.col("_bks").alias("_kb")] if has_all else []
+    a = keys.select(F.col(id_col).alias("a"), "band", "band_key", *extra_a)
+    b = keys.select(F.col(id_col).alias("b"), "band", "band_key", *extra_b)
+    j = a.join(b, ["band", "band_key"]).filter(F.col("a") < F.col("b"))
+    if not has_all:
+        return j.select("a", "b").distinct()
+    # band is 0-based; element_at is 1-based, so _ka[i] is band i-1's key:
+    # row at band b collides earlier iff any i <= b has _ka[i] == _kb[i]
+    earlier = F.lit(False)
+    for i in range(1, n_bands):
+        earlier = earlier | (
+            (F.col("band") >= i) & (F.element_at("_ka", i) == F.element_at("_kb", i))
+        )
+    return j.filter(~earlier).select("a", "b")
 
 
 def minhash_pairs_fast(
@@ -366,7 +445,9 @@ def minhash_pairs_fast(
     groupBy shuffle; the only shuffle in the whole operator is the (band,
     band_key) bucket groupBy, whose keys are uniform int64."""
     return _bucket_pairs(
-        band_keys_fast(df, id_col, text_col, perms, band_rows, n), id_col
+        band_keys_fast(df, id_col, text_col, perms, band_rows, n, all_keys=True),
+        id_col,
+        n_bands=perms // band_rows,
     )
 
 
@@ -379,27 +460,41 @@ def band_keys_fast(
     n: int = 3,
     keep: tuple[str, ...] = (),
     spread: bool = True,
+    all_keys: bool = False,
 ) -> DataFrame:
     """(id, band, band_key, *keep) on the PRODUCTION int64-xxhash64
     signature path — the per-doc half of minhash_pairs_fast, shared with
-    streaming ingest dedup (keep/spread semantics as band_keys_md5)."""
-    # null/empty-shingle filter — same rationale as minhash_signature
+    streaming ingest dedup (keep/spread semantics as band_keys_md5).
+    all_keys=True carries the full band-key array as `_bks` (min-band pair
+    dedup, _bucket_pairs).
+
+    ONE aggregate pass with a `perms`-field struct accumulator instead of
+    `perms` separate transform+array_min projections: the latter
+    materializes `perms` derived long arrays per document (allocation/GC
+    churn that grows with doc length); the fold keeps O(1) state per row
+    and visits each shingle once. Bit-identical mins (same xxhash64 over
+    the same multiset — verified by checksum on the harness corpus);
+    measured 1.5x on the sf0.1 signature projection. Lambda arity is the
+    DECLARED (acc, s) for aggregate's merge — the repo HOF invariant.
+
+    The `finish` lambda maps the accumulator straight to the band-key
+    array, so the fold appears in the plan EXACTLY ONCE — extracting mh
+    columns and re-combining them downstream made CollapseProject inline
+    the whole fold per field, a perms× expression blow-up that cost
+    seconds of driver-side optimization per call (see band_keys_md5 —
+    the length()-filter and posexplode_OUTER single-evaluation guards
+    there apply verbatim here too)."""
+    bands = perms // band_rows
     base = df.select(F.col(id_col), F.col(text_col), *[F.col(c) for c in keep])
     if spread:
         base = _spread(base)
-    sh = base.select(
+    # no-shingle filter: length >= n ≡ size(shingles) > 0, without
+    # re-evaluating the shingle transform inside a pushed-down predicate
+    sh = base.filter(F.length(text_col) >= n).select(
         F.col(id_col),
         shingle_col(text_col, n, distinct=False).alias("shs"),
         *[F.col(c) for c in keep],
-    ).filter(F.size("shs") > 0)
-    # ONE aggregate pass with a `perms`-field struct accumulator instead of
-    # `perms` separate transform+array_min projections: the latter
-    # materializes `perms` derived long arrays per document (allocation/GC
-    # churn that grows with doc length); the fold keeps O(1) state per row
-    # and visits each shingle once. Bit-identical mins (same xxhash64 over
-    # the same multiset — verified by checksum on the harness corpus);
-    # measured 1.5x on the sf0.1 signature projection. Lambda arity is the
-    # DECLARED (acc, s) for aggregate's merge — the repo HOF invariant.
+    )
     init = F.struct(
         *[F.lit(2**63 - 1).cast("long").alias(f"m{p}") for p in range(perms)]
     )
@@ -412,33 +507,23 @@ def band_keys_fast(
             ]
         )
 
-    sig = sh.select(
+    def _finish(acc):
+        return F.array(
+            *[
+                F.xxhash64(*[acc[f"m{b * band_rows + r}"] for r in range(band_rows)])
+                for b in range(bands)
+            ]
+        )
+
+    arr = sh.select(
         F.col(id_col),
-        F.aggregate("shs", init, _merge).alias("_mh"),
-        *[F.col(c) for c in keep],
-    ).select(
-        F.col(id_col),
-        *[F.col(f"_mh.m{p}").alias(f"mh{p}") for p in range(perms)],
+        F.aggregate("shs", init, _merge, _finish).alias("_bks"),
         *[F.col(c) for c in keep],
     )
-    bands = perms // band_rows
-    bk = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    return sig.select(
-        F.col(id_col), F.explode(bk).alias("bk"), *[F.col(c) for c in keep]
-    ).select(
+    return arr.select(
         id_col,
-        F.col("bk.band").alias("band"),
-        F.col("bk.band_key").alias("band_key"),
+        F.posexplode_outer("_bks").alias("band", "band_key"),
+        *(["_bks"] if all_keys else []),
         *keep,
     )
 

@@ -1092,17 +1092,19 @@ def _rect_features(spark, sf, mod: int):
         F.min("rw").alias("rw"),
         F.min("rh").alias("rh"),
     )
-    pt = lambda xe, ye: F.struct(xe.alias("x"), ye.alias("y"))  # noqa: E731
-    x0, y0 = F.col("rx0"), F.col("ry0")
-    x1, y1 = F.col("rx0") + F.col("rw"), F.col("ry0") + F.col("rh")
-    ring = F.array(pt(x0, y0), pt(x1, y0), pt(x1, y1), pt(x0, y1))
-    return r.select(
-        F.col("rid").alias("feature_id"),
-        F.array(ring).alias("rings"),
-        x0.alias("xmin"),
-        y0.alias("ymin"),
-        x1.alias("xmax"),
-        y1.alias("ymax"),
+    # single selectExpr: the Column-operator form issued dozens of py4j
+    # round trips per call (driver latency, round 8 — see _is_axis_rect)
+    return r.selectExpr(
+        "rid AS feature_id",
+        "array(array("
+        "named_struct('x', rx0, 'y', ry0), "
+        "named_struct('x', rx0 + rw, 'y', ry0), "
+        "named_struct('x', rx0 + rw, 'y', ry0 + rh), "
+        "named_struct('x', rx0, 'y', ry0 + rh))) AS rings",
+        "rx0 AS xmin",
+        "ry0 AS ymin",
+        "rx0 + rw AS xmax",
+        "ry0 + rh AS ymax",
     )
 
 

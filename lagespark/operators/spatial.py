@@ -763,43 +763,43 @@ def _flat_ring_cols(rings_col, suffix: str) -> list:
     ]
 
 
-def _is_axis_rect(rings_col, xmin, ymin, xmax, ymax):
+def _is_axis_rect(rings: str, xmin: str, ymin: str, xmax: str, ymax: str):
     """TRUE iff the polygon is exactly its axis-aligned bounding box: one
     ring, four vertices, every edge axis-aligned, each bbox corner hit by
     exactly one vertex (the 2/2 x and y distribution excludes degenerate
     spikes like (0,0)→(1,0)→(1,1)→(1,0)), and positive extent. Pure
     Catalyst — rect×rect overlay pairs then take a fully native area path
-    and never reach the Python kernel."""
-    ring = F.element_at(rings_col, 1)
+    and never reach the Python kernel.
 
-    def X(i):
-        return F.element_at(ring, i)["x"]
+    Takes COLUMN NAMES and emits one F.expr SQL string (round 8): the
+    Column-operator form issued ~80 py4j round trips per call (~0.4 s of
+    driver latency each; overlay_join builds it twice per invocation) —
+    the single parsed expression is semantically identical (numpy parity
+    fuzz test unchanged)."""
+    ring = f"element_at({rings}, 1)"
 
-    def Y(i):
-        return F.element_at(ring, i)["y"]
+    def X(i: int) -> str:
+        return f"element_at({ring}, {i}).x"
 
-    def nxt(i):
+    def Y(i: int) -> str:
+        return f"element_at({ring}, {i}).y"
+
+    def nxt(i: int) -> int:
         return i % 4 + 1
 
-    edges_axis = None
-    for i in range(1, 5):
-        e = (X(i) == X(nxt(i))) != (Y(i) == Y(nxt(i)))
-        edges_axis = e if edges_axis is None else (edges_axis & e)
-    two = F.lit(2)
-    on_min_x = sum((X(i) == xmin).cast("int") for i in range(1, 5)) == two
-    on_max_x = sum((X(i) == xmax).cast("int") for i in range(1, 5)) == two
-    on_min_y = sum((Y(i) == ymin).cast("int") for i in range(1, 5)) == two
-    on_max_y = sum((Y(i) == ymax).cast("int") for i in range(1, 5)) == two
-    return (
-        (F.size(rings_col) == 1)
-        & (F.size(ring) == 4)
-        & edges_axis
-        & on_min_x
-        & on_max_x
-        & on_min_y
-        & on_max_y
-        & (xmax > xmin)
-        & (ymax > ymin)
+    edges_axis = " AND ".join(
+        f"(({X(i)} = {X(nxt(i))}) != ({Y(i)} = {Y(nxt(i))}))" for i in range(1, 5)
+    )
+
+    def corners(get, bound: str) -> str:
+        s = " + ".join(f"CAST(({get(i)} = {bound}) AS INT)" for i in range(1, 5))
+        return f"(({s}) = 2)"
+
+    return F.expr(
+        f"(size({rings}) = 1) AND (size({ring}) = 4) AND ({edges_axis}) AND "
+        f"{corners(X, xmin)} AND {corners(X, xmax)} AND "
+        f"{corners(Y, ymin)} AND {corners(Y, ymax)} AND "
+        f"({xmax} > {xmin}) AND ({ymax} > {ymin})"
     )
 
 
@@ -850,9 +850,7 @@ def overlay_join(
         F.col("ymin").alias("lymin"),
         F.col("xmax").alias("lxmax"),
         F.col("ymax").alias("lymax"),
-        _is_axis_rect(
-            F.col("rings"), F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
-        ).alias("rect_l"),
+        _is_axis_rect("rings", "xmin", "ymin", "xmax", "ymax").alias("rect_l"),
     )
     r = right.select(
         F.col(right_id).alias("id_r"),
@@ -861,9 +859,7 @@ def overlay_join(
         F.col("ymin").alias("rymin"),
         F.col("xmax").alias("rxmax"),
         F.col("ymax").alias("rymax"),
-        _is_axis_rect(
-            F.col("rings"), F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
-        ).alias("rect_r"),
+        _is_axis_rect("rings", "xmin", "ymin", "xmax", "ymax").alias("rect_r"),
     )
     if checkpoint_features:
         # each side feeds BOTH the cover explosion and the payload join —
@@ -873,9 +869,22 @@ def overlay_join(
         # Repartition first: the checkpoint captures the AQE-coalesced
         # layout (~1 partition for small-byte frames), serializing every
         # downstream map stage.
+        #
+        # The two checkpoints materialize CONCURRENTLY (round 8, guide
+        # §2.6): a lazy localCheckpoint on an AQE plan still executes every
+        # exchange stage below it synchronously inside the call, so the two
+        # independent feature builds otherwise serialize driver-side
+        # (measured ~3.4 s sequential vs ~0.4-1.8 s overlapped on the q68
+        # inputs). Job-description/thread-locals don't matter here — both
+        # jobs belong to this operator.
+        from concurrent.futures import ThreadPoolExecutor
+
         par = l.sparkSession.sparkContext.defaultParallelism
-        l = l.repartition(par).localCheckpoint(eager=False)
-        r = r.repartition(par).localCheckpoint(eager=False)
+        lp, rp = l.repartition(par), r.repartition(par)
+        with ThreadPoolExecutor(2) as ex:
+            fl = ex.submit(lambda: lp.localCheckpoint(eager=False))
+            fr = ex.submit(lambda: rp.localCheckpoint(eager=False))
+            l, r = fl.result(), fr.result()
     # the rect flag (1 bool, computed once per feature) rides the SKINNY
     # cover join, so rect×rect pairs — decided entirely by bbox arithmetic —
     # never pay the ring-payload joins at all
@@ -1098,10 +1107,7 @@ def _mask_cover(
         feats.select(
             F.col(id_col).alias("id"),
             *_flat_ring_cols(F.col("rings"), ""),
-            _is_axis_rect(
-                F.col("rings"), F.col("xmin"), F.col("ymin"),
-                F.col("xmax"), F.col("ymax"),
-            ).alias("rect"),
+            _is_axis_rect("rings", "xmin", "ymin", "xmax", "ymax").alias("rect"),
             F.col("xmin").alias("lxmin"),
             F.col("ymin").alias("lymin"),
             F.col("xmax").alias("lxmax"),
@@ -1256,10 +1262,18 @@ def intersects_join_ri(
     records how the pair was decided ('rect', 'ri' or 'exact') — the
     pruning-rate diagnostic."""
     # the COVERS are the shared substrate (checkpointed inside _mask_cover —
-    # they feed the rect pair path and up to two mask families per side)
+    # they feed the rect pair path and up to two mask families per side).
+    # Built CONCURRENTLY (round 8, guide §2.6): each cover is an EAGER
+    # checkpoint, i.e. a full synchronous job (scan + dedup agg + cover
+    # explosion); the two sides are independent, so overlapping them
+    # halves the sequential driver wait.
+    from concurrent.futures import ThreadPoolExecutor
+
     par = left.sparkSession.sparkContext.defaultParallelism
-    lcov = _mask_cover(left, cell_size, left_id)
-    rcov = _mask_cover(right, cell_size, right_id)
+    with ThreadPoolExecutor(2) as ex:
+        fl = ex.submit(_mask_cover, left, cell_size, left_id)
+        fr = ex.submit(_mask_cover, right, cell_size, right_id)
+        lcov, rcov = fl.result(), fr.result()
 
     # rect × rect pairs: an axis-rect IS its bbox, so the pair verdict is
     # GLOBAL bbox arithmetic — overlap area > 1e-9 (the exact kernel's own

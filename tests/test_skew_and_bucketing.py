@@ -352,9 +352,7 @@ def test_is_axis_rect_detection(spark):
     )
     df = spark.createDataFrame(pdf).withColumn(
         "got",
-        spatial._is_axis_rect(
-            F.col("rings"), F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
-        ),
+        spatial._is_axis_rect("rings", "xmin", "ymin", "xmax", "ymax"),
     )
     rows = df.select("want", "got").collect()
     for i, r in enumerate(rows):
@@ -407,10 +405,7 @@ def test_is_axis_rect_catalyst_numpy_parity_randomized(spark):
         spark.createDataFrame(pdf)
         .withColumn(
             "got",
-            spatial._is_axis_rect(
-                F.col("rings"), F.col("xmin"), F.col("ymin"),
-                F.col("xmax"), F.col("ymax"),
-            ),
+            spatial._is_axis_rect("rings", "xmin", "ymin", "xmax", "ymax"),
         )
         .select("want", "got")
         .toPandas()

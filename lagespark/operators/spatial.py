@@ -939,6 +939,19 @@ def overlay_join(
         .select("id_l", "id_r", "area")
     )
 
+    if checkpoint_pairs:
+        # data-adaptive branch elision (round 8, same discipline as
+        # intersects_join_ri's per-side rect probe): when every deduped pair
+        # is rect×rect — the common all-rect cadastre case — the kernel
+        # branch contributes NOTHING but still costs two broadcast builds
+        # (flat ring payloads), a 256-partition exchange and an
+        # ArrowEvalPython stage full of empty tasks. One limit(1) probe on
+        # the already-checkpointed pair list decides; mixed inputs pay only
+        # that probe. Only safe behind the checkpoint (the probe would
+        # otherwise recompute the cover join).
+        if cand.filter(~both_rect).limit(1).count() == 0:
+            return rect_res
+
     # non-rect pairs: enrich with FLAT ring payloads (one shuffle per side,
     # keyed on the id — no per-cell multiplication of the wide column; the
     # flat encoding is computed once per feature) and run the exact kernel

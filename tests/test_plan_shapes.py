@@ -149,7 +149,9 @@ def test_overlay_join_cover_explosion_is_native(spark):
     # exactly one Arrow UDF node (the exact-area kernel, general-pair branch)
     assert p.count("ArrowEvalPython") == 1
     assert "Generate explode" in p  # native cover explosion
-    # the registered q68 (checkpointed) still has exactly one Arrow UDF
-    # downstream of the pair checkpoint
+    # the registered q68 is ALL-RECT input: with the round-8 data-adaptive
+    # probe the kernel branch is elided entirely — zero Python nodes, pure
+    # codegen end-to-end (the probe only fires on the checkpointed path)
     p2 = plan_of(harness.QUERIES["q68-geo-overlay-join"](spark, SF), "simple")
-    assert p2.count("ArrowEvalPython") == 1
+    assert p2.count("ArrowEvalPython") == 0
+    assert "Union" not in p2  # single native rect branch

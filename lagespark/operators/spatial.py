@@ -517,15 +517,19 @@ def knn_join_points(
     the result is cell-size-independent, only round counts change."""
     from pyspark.sql import Window
 
-    if cell_size is None:
-        cell_size = knn_auto_cell_size(targets, k, x, y)
+    # checkpoint the skinny target base ONCE (round 8): the target table is
+    # re-joined in EVERY expansion round, and the density stats pass reads
+    # it too — without persistence each of those re-runs the upstream plan
+    # (for harness points that is a full scan + dedup aggregate per round).
+    # Lazy: materializes inside the first consumer's job.
+    tbase = targets.select(
+        F.col(id_col).alias("nn_id"), F.col(x).alias("tx"), F.col(y).alias("ty")
+    ).localCheckpoint(eager=False)
 
-    t = with_grid_cell(targets, x, y, cell_size).select(
-        F.col(id_col).alias("nn_id"),
-        F.col(x).alias("tx"),
-        F.col(y).alias("ty"),
-        "cell",
-    )
+    if cell_size is None:
+        cell_size = knn_auto_cell_size(tbase, k, "tx", "ty")
+
+    t = with_grid_cell(tbase, "tx", "ty", cell_size)
     # ONE query row per id: duplicate qids (synthesized keys are not unique
     # — CLAUDE.md) would duplicate every candidate inside the per-qid window
     # and corrupt ranks (rank 2 becomes a repeat of rank 1, pushing the true

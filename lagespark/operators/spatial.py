@@ -1318,11 +1318,24 @@ def intersects_join_ri(
     gpy = F.least(F.col("lymax"), F.col("rymax")) - F.greatest(
         F.col("lymin"), F.col("rymin")
     )
+    # PBSM reference-cell dedup (round 8, same construction as
+    # overlay_join): a pair sharing k cover cells is emitted ONLY from the
+    # cell holding the top-left corner of the bbox intersection — that cell
+    # is in both bbox covers by construction, so the per-cell duplicates
+    # are eliminated map-side and the pair stream never shuffles again
+    # (dropDuplicates previously hash-aggregated + exchanged it).
+    ref_cell = (
+        F.floor(F.greatest("lxmin", "rxmin") / F.lit(cell_size)).cast("long")
+        + cells.GRID_OFF
+    ) * F.lit(1 << cells.GRID_SHIFT) + (
+        F.floor(F.greatest("lymin", "rymin") / F.lit(cell_size)).cast("long")
+        + cells.GRID_OFF
+    )
     rect_pairs = (
         lrect.join(rrect, "cell")
         .filter((gpx > 0) & (gpy > 0) & (gpx * gpy > 1e-9))
+        .filter(F.col("cell") == ref_cell)
         .select("id_l", "id_r")
-        .dropDuplicates(["id_l", "id_r"])
         .withColumn("method", F.lit("rect"))
     )
 

@@ -322,30 +322,36 @@ def band_keys_md5(
         *[F.col(c) for c in keep],
     )
     # same fold as minhash_signature ('g'*15 sentinel, least over 15-hex
-    # windows); finish maps the accumulator straight to the band keys
-    init = F.struct(*[F.lit("g" * 15).alias(f"m{p}") for p in range(perms)])
-
-    def _merge(acc, h):
-        return F.struct(
-            *[
-                F.least(acc[f"m{p}"], F.substring(h, 2 * p + 1, 15)).alias(f"m{p}")
-                for p in range(perms)
-            ]
+    # windows); finish maps the accumulator straight to the band keys.
+    # The whole aggregate is ONE F.expr SQL string: the Column-builder form
+    # issued ~6 py4j round trips per struct field (seconds of driver
+    # latency at high perms — q71b's 64-perm fold cost 2.5 s to BUILD).
+    init = (
+        "named_struct("
+        + ", ".join(f"'m{p}', '{'g' * 15}'" for p in range(perms))
+        + ")"
+    )
+    merge = (
+        "(acc, h) -> named_struct("
+        + ", ".join(
+            f"'m{p}', least(acc.m{p}, substring(h, {2 * p + 1}, 15))"
+            for p in range(perms)
         )
-
-    def _finish(acc):
-        return F.array(
-            *[
-                F.concat_ws(
-                    "|", *[acc[f"m{b * band_rows + r}"] for r in range(band_rows)]
-                )
-                for b in range(bands)
-            ]
+        + ")"
+    )
+    finish = (
+        "acc -> array("
+        + ", ".join(
+            "concat_ws('|', "
+            + ", ".join(f"acc.m{b * band_rows + r}" for r in range(band_rows))
+            + ")"
+            for b in range(bands)
         )
-
+        + ")"
+    )
     arr = hs.select(
         F.col(id_col),
-        F.aggregate("hs", init, _merge, _finish).alias("_bks"),
+        F.expr(f"aggregate(hs, {init}, {merge}, {finish})").alias("_bks"),
         *[F.col(c) for c in keep],
     )
     return arr.select(
@@ -495,29 +501,35 @@ def band_keys_fast(
         shingle_col(text_col, n, distinct=False).alias("shs"),
         *[F.col(c) for c in keep],
     )
-    init = F.struct(
-        *[F.lit(2**63 - 1).cast("long").alias(f"m{p}") for p in range(perms)]
+    # ONE F.expr SQL string for the whole fold (see band_keys_md5): the
+    # Column-builder form cost seconds of py4j driver latency at high
+    # perms. Literal `p` parses as INT, matching F.lit(p)'s IntegerType —
+    # xxhash64 values are bit-identical (parity test-pinned).
+    init = (
+        "named_struct("
+        + ", ".join(f"'m{p}', CAST({2**63 - 1} AS BIGINT)" for p in range(perms))
+        + ")"
     )
-
-    def _merge(acc, s):
-        return F.struct(
-            *[
-                F.least(acc[f"m{p}"], F.xxhash64(F.lit(p), s)).alias(f"m{p}")
-                for p in range(perms)
-            ]
+    merge = (
+        "(acc, s) -> named_struct("
+        + ", ".join(
+            f"'m{p}', least(acc.m{p}, xxhash64({p}, s))" for p in range(perms)
         )
-
-    def _finish(acc):
-        return F.array(
-            *[
-                F.xxhash64(*[acc[f"m{b * band_rows + r}"] for r in range(band_rows)])
-                for b in range(bands)
-            ]
+        + ")"
+    )
+    finish = (
+        "acc -> array("
+        + ", ".join(
+            "xxhash64("
+            + ", ".join(f"acc.m{b * band_rows + r}" for r in range(band_rows))
+            + ")"
+            for b in range(bands)
         )
-
+        + ")"
+    )
     arr = sh.select(
         F.col(id_col),
-        F.aggregate("shs", init, _merge, _finish).alias("_bks"),
+        F.expr(f"aggregate(shs, {init}, {merge}, {finish})").alias("_bks"),
         *[F.col(c) for c in keep],
     )
     return arr.select(
@@ -695,7 +707,18 @@ def _refine_bitset(cand: DataFrame, sh: DataFrame, id_col: str,
                     "bitset refine: candidate id missing from the broadcast "
                     "shingle-set table"
                 )
-            inter = _popcount64(bmat[ia] & bmat[ib]).sum(axis=1).astype(np.int64)
+            # chunked AND+popcount: the whole-batch form materializes
+            # (batch × words) uint64 temporaries that fall out of L2 —
+            # 2k-pair chunks measured 5× faster on the q71b refine shape
+            # (round 8; identical values, pure evaluation-order change)
+            inter = np.empty(len(ia), dtype=np.int64)
+            for s in range(0, len(ia), 2048):
+                e = min(s + 2048, len(ia))
+                inter[s:e] = (
+                    _popcount64(bmat[ia[s:e]] & bmat[ib[s:e]])
+                    .sum(axis=1)
+                    .astype(np.int64)
+                )
             union = bsizes[ia] + bsizes[ib] - inter
             with np.errstate(invalid="ignore", divide="ignore"):
                 jac = inter / union
@@ -785,8 +808,15 @@ def minhash_jaccard_pairs(
     # Jaccard value are unchanged unless two distinct shingles collide in 64
     # bits (~1e-19 per pair — the op is approximate-by-contract on recall
     # already; exact-on-strings is ngram_jaccard_pairs)
-    sh = _spread(
-        df.select(F.col(id_col), F.col(text_col)).join(ids, id_col, "left_semi")
+    # plain repartition, NOT _spread: _spread's .rdd partition probe on a
+    # JOIN plan triggers a synchronous AQE stage materialization (the ids
+    # aggregate + broadcast build), and the checkpoint below then re-plans
+    # and re-executes those stages — the probe cost exceeds the one skinny
+    # shuffle it might save (round 8, measured ~1.5 s of the sh phase)
+    sh = (
+        df.select(F.col(id_col), F.col(text_col))
+        .join(ids, id_col, "left_semi")
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     ).select(
         F.col(id_col),
         F.array_distinct(
@@ -872,11 +902,26 @@ def hamming_pairs(
     b = keyed.select(F.col(id_col).alias("b"), F.col("_sk").alias("_skb"), "band", "key")
     pairs = a.join(b, ["band", "key"]).filter(F.col("a") < F.col("b"))
     ham = F.bit_count(F.col("_ska").bitwiseXOR(F.col("_skb")))
+    # min-band pair dedup (round 8, same construction as _bucket_pairs): a
+    # pair is emitted ONLY from the first chunk that agrees — the earlier
+    # chunks are recomputable from the carried sketches, so the dedup is a
+    # map-side filter and the pair stream never shuffles (the old
+    # .distinct() exchanged it). Unique ids assumed (corpus contract).
+    def chunk(col: str, b: int):
+        return F.shiftright(F.col(col), offsets[b]).bitwiseAND(
+            F.lit((1 << widths[b]) - 1)
+        )
+
+    earlier = F.lit(False)
+    for bprev in range(n_bands - 1):
+        earlier = earlier | (
+            (F.col("band") > bprev) & (chunk("_ska", bprev) == chunk("_skb", bprev))
+        )
     return (
         pairs.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
+        .filter(~earlier)
         .select("a", "b", "hamming")
-        .distinct()
     )
 
 

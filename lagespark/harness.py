@@ -118,22 +118,15 @@ def q04(spark, sf):
     def intersects(
         rx0: pd.Series, ry0: pd.Series, rw: pd.Series, rh: pd.Series
     ) -> pd.Series:
-        out = np.zeros(len(rx0), dtype=bool)
-        x0 = rx0.to_numpy()
-        y0 = ry0.to_numpy()
-        w = rw.to_numpy()
-        h = rh.to_numpy()
-        for i in range(len(out)):
-            ring = np.array(
-                [
-                    [x0[i], y0[i]],
-                    [x0[i] + w[i], y0[i]],
-                    [x0[i] + w[i], y0[i] + h[i]],
-                    [x0[i], y0[i] + h[i]],
-                ]
-            )
-            out[i] = geom.clip_area(ring, win) > 0.0
-        return pd.Series(out)
+        # batched rect-clip (round 8, VERDICT r7 #5): one vectorized numpy
+        # pass instead of one Sutherland–Hodgman call per row — the rect ×
+        # axis-window clip IS the bbox-overlap arithmetic (per-row equality
+        # with geom.clip_area is test-pinned in test_kernels_geom)
+        areas = geom.rect_clip_area_batch(
+            rx0.to_numpy(), ry0.to_numpy(), rw.to_numpy(), rh.to_numpy(),
+            win[0, 0], win[0, 1], win[2, 0], win[2, 1],
+        )
+        return pd.Series(areas > 0.0)
 
     r = T(spark, sf, "lineitem").selectExpr(*oracles.RECT_EXPRS)
     # cheap bbox prefilter first (q03 discipline), exact kernel on survivors

@@ -200,3 +200,34 @@ def test_axis_rect_bounds_rejects_non_rects():
     assert geom.axis_rect_bounds(degen) is None
     rect = np.array([[1.0, 2.0], [5.0, 2.0], [5.0, 7.0], [1.0, 7.0]])
     assert geom.axis_rect_bounds(rect) == (1.0, 2.0, 5.0, 7.0)
+
+
+def test_rect_clip_area_batch_matches_clip_area():
+    """rect_clip_area_batch (the round-8 vectorized q04 kernel) must equal
+    the per-row Sutherland–Hodgman clip_area on random rects vs a fixed
+    window, including touch/degenerate cases."""
+    rng = np.random.default_rng(7)
+    n = 500
+    x0 = rng.uniform(3000, 7000, n)
+    y0 = rng.uniform(4000, 8000, n)
+    w = rng.uniform(0, 1500, n)
+    h = rng.uniform(0, 1500, n)
+    # exact-touch cases: right edge on the window's left edge
+    x0[:10] = 4000.0 - w[:10]
+    y0[10:20] = 5000.0 - h[10:20]
+    wx0, wy0, wx1, wy1 = 4000.0, 5000.0, 6000.0, 7000.0
+    win = np.array([[wx0, wy0], [wx1, wy0], [wx1, wy1], [wx0, wy1]])
+    batch = geom.rect_clip_area_batch(x0, y0, w, h, wx0, wy0, wx1, wy1)
+    for i in range(n):
+        ring = np.array(
+            [
+                [x0[i], y0[i]],
+                [x0[i] + w[i], y0[i]],
+                [x0[i] + w[i], y0[i] + h[i]],
+                [x0[i], y0[i] + h[i]],
+            ]
+        )
+        ref = geom.clip_area(ring, win)
+        assert abs(batch[i] - ref) < 1e-9 * max(1.0, ref), (
+            f"row {i}: batch {batch[i]} vs clip_area {ref}"
+        )

@@ -920,15 +920,17 @@ def overlay_join(
         # kernel); without persistence each union branch would re-run the
         # whole cover join + dedup (no exchange reuse — the branches prune
         # different columns). Lazy local checkpoint: skinny, bounded by the
-        # output size, materialized by the caller's first action. The
-        # repartition is REQUIRED: checkpointing captures the plan's final
-        # AQE-coalesced layout, which for skinny rows is ONE partition —
-        # every downstream branch (including the native rect arithmetic over
-        # millions of pairs) would run single-threaded otherwise.
-        # checkpoint_pairs=False keeps the plan fully visible for the
-        # plan-shape tests.
-        par = cand.sparkSession.sparkContext.defaultParallelism
-        cand = cand.repartition(par).localCheckpoint(eager=False)
+        # output size, materialized by the caller's first action.
+        # NO repartition before the checkpoint (round 8): AQE's
+        # parallelismFirst coalescing (default on in Spark 4) already keeps
+        # the post-join layout at ~defaultParallelism partitions, so the
+        # extra round-robin exchange re-shuffled the full pair list
+        # (~200 MB at sf0.1) for nothing — measured 2.8 s → 1.9 s. The
+        # CPU-bound kernel branch re-spreads itself via
+        # _repartition_for_kernel, so a small coalesced checkpoint can't
+        # serialize it. checkpoint_pairs=False keeps the plan fully visible
+        # for the plan-shape tests.
+        cand = cand.localCheckpoint(eager=False)
 
     both_rect = F.col("rect_l") & F.col("rect_r")
     # rect×rect: fully native bbox-overlap area (a rect IS its bbox; overlap
@@ -1139,10 +1141,11 @@ def _mask_cover(
     # concurrent threads at action start — a lazy checkpoint races there
     # and recomputes the cover once per thread (measured: q82 warm
     # 12 → 18-27 s with run-to-run swing; same race class as
-    # dedup._bucket_pairs / components)
-    return cov.repartition(
-        cov.sparkSession.sparkContext.defaultParallelism
-    ).localCheckpoint(eager=True)
+    # dedup._bucket_pairs / components). No repartition (round 8): it
+    # re-shuffled the payload-carrying exploded cover for nothing — AQE's
+    # parallelismFirst layout stands, downstream joins re-shuffle anyway,
+    # and the kernel mask branch re-spreads via _repartition_for_kernel.
+    return cov.localCheckpoint(eager=True)
 
 
 def _masks_over_cover(cov: DataFrame, cell_size: float, sub: int) -> DataFrame:
@@ -1388,10 +1391,11 @@ def intersects_join_ri(
     )
     # definite NO pruned natively; the surviving candidate set feeds two
     # branches (definite-yes, exact kernel) — checkpoint so the mask join
-    # runs once; repartition first (see overlay_join: the captured layout
-    # is otherwise AQE-coalesced to ~1 partition and every branch serializes)
+    # runs once. No repartition (round 8, see overlay_join): AQE's
+    # parallelismFirst layout is kept, and the kernel branch re-spreads
+    # itself via _repartition_for_kernel.
     cand = cand.filter((F.col("a_l").bitwiseAND(F.col("a_r"))) != 0)
-    cand = cand.repartition(par).localCheckpoint(eager=False)
+    cand = cand.localCheckpoint(eager=False)
     definite = (F.col("f_l").bitwiseAND(F.col("a_r")) != 0) | (
         F.col("a_l").bitwiseAND(F.col("f_r")) != 0
     )

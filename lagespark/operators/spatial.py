@@ -714,13 +714,22 @@ def knn_join(
 # ---------------------------------------------------------------------------
 
 
-def _repartition_for_kernel(df: DataFrame) -> DataFrame:
+def _repartition_for_kernel(df: DataFrame, mult: int = 8) -> DataFrame:
     """Repartition a (typically skinny) DataFrame before a CPU-bound pandas
     UDF stage. AQE sizes shuffle partitions by BYTES — after a join or
     groupBy of small rows it coalesces to one or two partitions, which would
-    serialize the kernel. One extra cheap shuffle buys full parallelism."""
+    serialize the kernel. One extra cheap shuffle buys full parallelism.
+
+    `mult` oversubscribes partitions beyond core count for LOAD BALANCING —
+    keep the default for kernels whose per-row cost varies (polygon clips:
+    vertex counts and cover multiplicities differ by orders of magnitude),
+    pass mult=1 for uniform per-row kernels (fixed-dim vector math): there
+    the extra tasks are pure Arrow/worker-invocation overhead — measured
+    2-3× on the sf0.1 similarity queries (q76 4.6→1.9 s, q76c 4.8→2.5 s,
+    q74b 3.8→1.9 s; round 8). Sizing stays cluster-proportional either way
+    (defaultParallelism-based)."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(max(par, min(8 * par, 256)))
+    return df.repartition(max(par, min(mult * par, 256)))
 
 
 def _bbox_cover_cells(df: DataFrame, cell_size: float, prefix: str) -> DataFrame:

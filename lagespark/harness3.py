@@ -170,6 +170,11 @@ def q62(spark, sf):
     byte-identically (caption-equality invariant)."""
     image_ops.set_image_batching(spark)
     imgs = image_ops.generate_images(spark, _n_images(sf))
+    # the generated table feeds BOTH the transcode pass and the caption
+    # join side — checkpoint so the per-image payload generation runs once
+    # (round 8; local-mode block locking serializes any concurrent
+    # materialization per partition, so lazy is safe here)
+    imgs = imgs.localCheckpoint(eager=False)
     out = image_ops.transcode(imgs, "png")
     joined = imgs.select("image_id", F.col("caption").alias("cap_in")).join(
         out.select("image_id", "caption", F.length("bytes").alias("png_bytes")),

@@ -92,12 +92,15 @@ def image_points(n: int, seed: int = SEED) -> tuple[np.ndarray, np.ndarray]:
 
 
 def images_pdf_for_indices(
-    idx: np.ndarray, seed: int = SEED, with_payload: bool = True
+    idx: np.ndarray, seed: int = SEED, with_payload: bool = True, keep_px: bool = False
 ) -> pd.DataFrame:
     """Graft-input-table rows for the given indices — per-index deterministic
     so it can generate distributed (one mapInPandas batch per index range).
     Schema: BASELINE.json:15 (image_id, bytes, w, h, fmt, caption, phash)
-    + x/y/lon/lat."""
+    + x/y/lon/lat. keep_px=True adds a `px_ref` column carrying the generated
+    pixel arrays (Python-side consumers only — never ship it through Arrow):
+    roundtrip checks need the pre-encode reference, and regenerating it costs
+    as much as the procedural render itself (~0.35 ms/image, round 8)."""
     idx = np.asarray(idx, dtype=np.int64)
     n = len(idx)
     x, y = points_for_indices(idx, seed)
@@ -109,6 +112,7 @@ def images_pdf_for_indices(
         f"synthetic scene {i} near ({round(x[k])},{round(y[k])})"
         for k, i in enumerate(idx)
     ]
+    pxs: list = []
     if with_payload:
         blobs = []
         phashes = np.empty(n, dtype=np.int64)
@@ -116,24 +120,27 @@ def images_pdf_for_indices(
             px = codecs.procedural_image(int(i), int(w[k]), int(w[k]))
             blobs.append(codecs.encode_image(px, fmt[k]))
             phashes[k] = codecs.phash64(px)
+            if keep_px:
+                pxs.append(px)
     else:
         blobs = [b""] * n
         phashes = np.zeros(n, dtype=np.int64)
-    return pd.DataFrame(
-        {
-            "image_id": ids,
-            "bytes": blobs,
-            "w": w,
-            "h": w.copy(),
-            "fmt": fmt,
-            "caption": captions,
-            "phash": phashes,
-            "x": x,
-            "y": y,
-            "lon": lon,
-            "lat": lat,
-        }
-    )
+    cols = {
+        "image_id": ids,
+        "bytes": blobs,
+        "w": w,
+        "h": w.copy(),
+        "fmt": fmt,
+        "caption": captions,
+        "phash": phashes,
+        "x": x,
+        "y": y,
+        "lon": lon,
+        "lat": lat,
+    }
+    if keep_px and with_payload:
+        cols["px_ref"] = pxs
+    return pd.DataFrame(cols)
 
 
 def images_pdf(n: int = 2_000, seed: int = SEED, with_payload: bool = True) -> pd.DataFrame:

@@ -121,11 +121,13 @@ def generate_and_check(spark: SparkSession, n: int, partitions: int = 32) -> Dat
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = fixtures.images_pdf_for_indices(pdf["id"].to_numpy())
+            # keep_px: the generator's pixel array IS the roundtrip
+            # reference — regenerating it per row doubled the procedural
+            # render cost (~20% of the kernel, round 8)
+            rows = fixtures.images_pdf_for_indices(pdf["id"].to_numpy(), keep_px=True)
             out = []
             for r in rows.itertuples():
-                i = int(r.image_id.replace("img", ""))
-                ref = codecs.procedural_image(i, r.w, r.h)
+                ref = r.px_ref
                 px = codecs.decode_image(r.bytes, r.fmt, r.w, r.h)
                 p = codecs.psnr(ref, px)
                 ham = bin((codecs.phash64(px) ^ r.phash) & (2**64 - 1)).count("1")

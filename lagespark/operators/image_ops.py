@@ -520,10 +520,18 @@ AV_RATE = 4000  # sample rate for generated audio
 AV_WINDOW = 256  # samples per audio unit
 
 
-def generate_av(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
+def generate_av(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
     """Deterministic audio/video table: REAL LAV1 containers (qdct-encoded
     16×16 video frames at AV_FPS / two-tone s16 audio at AV_RATE), built
-    per-index so the table is partitioning-independent."""
+    per-index so the table is partitioning-independent.
+
+    partitions=None sizes the generation to the session's parallelism
+    (encode is ~8 ms/media of real codec CPU and any downstream mapInPandas
+    pass fuses into the same stage — the old fixed 8 capped q64/q64b at
+    8-way on a 32-core box, round 8); payloads are ≤ ~200 KB so per-task
+    Arrow memory stays trivial at any sane core count."""
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
     from lagespark.image import av as avc
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

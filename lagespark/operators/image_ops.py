@@ -40,10 +40,14 @@ def set_image_batching(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(IMG_BATCH))
 
 
-def generate_images(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
+def generate_images(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
     """Distributed deterministic generation of the graft input table:
     mapInPandas over spark.range — each executor builds its own index range
-    (per-index Philox, partitioning-independent)."""
+    (per-index Philox, partitioning-independent). partitions=None sizes to
+    the session's parallelism (the generation is uniform per-image CPU —
+    a fixed count would cap a real cluster, guide §2)."""
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -114,10 +118,12 @@ def roundtrip_check(images: DataFrame) -> DataFrame:
     )
 
 
-def generate_and_check(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
+def generate_and_check(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
     """Fused generation → decode → invariant check in ONE mapInPandas pass
     (no intermediate payload materialization — the production shape for
     validation sweeps; see also BENCH/scaling.py run_image)."""
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -260,11 +266,13 @@ def payload_size_stats_arrow(images: DataFrame, bucket: int = 1024) -> DataFrame
 
 
 def generate_with_neardups(
-    spark: SparkSession, n: int, partitions: int = 32, dup_every: int = 10
+    spark: SparkSession, n: int, partitions: int | None = None, dup_every: int = 10
 ) -> DataFrame:
     """Image table with INJECTED near-duplicates: every dup_every-th image
     gets a twin (new id, qdct re-encode of the decoded pixels — visually
     identical, byte-different). The ground truth for pHash dedup tests."""
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

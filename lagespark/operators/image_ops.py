@@ -533,13 +533,17 @@ def generate_av(spark: SparkSession, n: int, partitions: int | None = None) -> D
     16×16 video frames at AV_FPS / two-tone s16 audio at AV_RATE), built
     per-index so the table is partitioning-independent.
 
-    partitions=None sizes the generation to the session's parallelism
-    (encode is ~8 ms/media of real codec CPU and any downstream mapInPandas
-    pass fuses into the same stage — the old fixed 8 capped q64/q64b at
-    8-way on a 32-core box, round 8); payloads are ≤ ~200 KB so per-task
-    Arrow memory stays trivial at any sane core count."""
+    partitions=None derives the count from the table size, capped at the
+    session's parallelism: ~64 media/task ≈ 0.5 s of real codec CPU —
+    coarse enough to amortize Python-worker spin-up and to keep every task
+    a full duration cycle (dur = 1000 + (i%60)·500 over contiguous index
+    ranges; finer splits leave tasks holding only the long-duration end),
+    fine enough to use a cluster. Round-8 A/B in the driver's cold bench
+    protocol at n=1000: fixed 8 → q64b 2.5 s, 32 (defaultParallelism) →
+    4.4-4.6 s (worker spin-up + duration skew), size-derived 16 → 1.6-1.8 s.
+    Payloads are ≤ ~200 KB so per-task Arrow memory stays trivial."""
     if partitions is None:
-        partitions = spark.sparkContext.defaultParallelism
+        partitions = max(1, min(spark.sparkContext.defaultParallelism, -(-n // 64)))
     from lagespark.image import av as avc
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
